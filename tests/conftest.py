@@ -1,0 +1,28 @@
+"""Test harness config: force an 8-device CPU mesh before any JAX use.
+
+Mirrors the rebuild test strategy from SURVEY.md §4: multi-device tests run
+on a host-platform mesh so sharding is exercised without TPU hardware.
+
+NOTE: this image's sitecustomize registers a remote-TPU PJRT plugin and
+calls ``jax.config.update("jax_platforms", "axon,cpu")``, which overrides
+the ``JAX_PLATFORMS`` env var. We must update the config value itself.
+"""
+
+import os
+import sys
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402  (sitecustomize has already registered the plugin)
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_sessionstart(session):
+    assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
+    assert jax.device_count() == 8, "expected 8 virtual CPU devices"

@@ -1,0 +1,76 @@
+"""Token sampling: top-k / top-p filtering and gumbel-softmax.
+
+Replicates the *filtering mask* semantics of the reference exactly
+(``models/helpers.py:6-36``):
+
+* top-k: positions with logit strictly below the k-th largest are removed;
+  ties at the threshold are kept (``helpers.py:9``).
+* top-p: ascending sort, softmax, cumulative sum; remove positions whose
+  cumsum <= 1 - top_p; the largest logit is never removed
+  (``helpers.py:12-15``).
+
+Sampling itself uses ``jax.random.categorical`` (Gumbel-max over the masked
+logits), which draws from the identical distribution as the reference's
+``torch.multinomial(softmax(logits))`` (``helpers.py:19``). RNG streams are
+framework-specific: a given integer seed will not reproduce torch's draws
+(documented divergence, SURVEY.md §7 hard part #3).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["top_k_top_p_mask", "sample_with_top_k_top_p", "gumbel_softmax"]
+
+_NEG_INF = float("-inf")
+
+
+def top_k_top_p_mask(logits: jax.Array, top_k: int = 0, top_p: float = 0.0) -> jax.Array:
+    """Apply top-k then top-p filtering; removed entries become -inf.
+
+    ``logits``: (..., V) float array. ``top_k``/``top_p`` are static Python
+    values (they select compiled graphs, matching reference CLI flags).
+    """
+    if top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, _NEG_INF, logits)
+    if top_p > 0.0:
+        sorted_logits = jnp.sort(logits, axis=-1)  # ascending, like helpers.py:12
+        sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cumprobs = jnp.cumsum(sorted_probs, axis=-1)
+        remove_sorted = cumprobs <= (1.0 - top_p)
+        remove_sorted = remove_sorted.at[..., -1].set(False)  # keep argmax always
+        # Scatter the sorted-order mask back to vocab order: ranks[v] is the
+        # ascending rank of vocab entry v, so gather remove_sorted at ranks.
+        sorted_idx = jnp.argsort(logits, axis=-1)
+        ranks = jnp.argsort(sorted_idx, axis=-1)
+        remove = jnp.take_along_axis(remove_sorted, ranks, axis=-1)
+        logits = jnp.where(remove, _NEG_INF, logits)
+    return logits
+
+
+def sample_with_top_k_top_p(
+    rng: jax.Array, logits: jax.Array, top_k: int = 0, top_p: float = 0.0
+) -> jax.Array:
+    """Sample one token per position from filtered logits. Returns int32 (...)."""
+    masked = top_k_top_p_mask(logits.astype(jnp.float32), top_k=top_k, top_p=top_p)
+    return jax.random.categorical(rng, masked, axis=-1)
+
+
+def gumbel_softmax(
+    rng: jax.Array, logits: jax.Array, tau: float = 1.0, hard: bool = False
+) -> jax.Array:
+    """Gumbel-softmax relaxation (reference ``helpers.py:22-36``).
+
+    Used by the ``more_smooth`` decode path (``var.py:178-180``) to mix
+    codebook rows by a soft distribution instead of a hard token.
+    """
+    g = jax.random.gumbel(rng, logits.shape, dtype=jnp.float32)
+    y_soft = jax.nn.softmax((logits.astype(jnp.float32) + g) / tau, axis=-1)
+    if hard:
+        idx = jnp.argmax(y_soft, axis=-1, keepdims=True)
+        y_hard = jnp.zeros_like(y_soft)
+        y_hard = jnp.put_along_axis(y_hard, idx, 1.0, axis=-1, inplace=False)
+        return y_hard + y_soft - jax.lax.stop_gradient(y_soft)
+    return y_soft
