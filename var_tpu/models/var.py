@@ -1,0 +1,358 @@
+"""VAR transformer: class-conditional AdaLN decoder over the scale pyramid.
+
+Re-implements the reference ``VAR`` (``models/var.py:21-234``) and its blocks
+(``models/basic_var.py:33-174``) as pure functions over a param pytree:
+
+* next-scale prediction: training runs one teacher-forced pass over all L
+  tokens with a block-causal additive mask (attend to all scales <= own,
+  ``var.py:107-112``); inference decodes scale-by-scale with KV caching.
+* AdaLN conditioning: 6 modulation vectors (gamma1, gamma2, scale1, scale2,
+  shift1, shift2) from SiLU+Linear per block, or a shared table ``ada_gss``
+  plus one shared projection when ``shared_aln`` (``basic_var.py:152-158``).
+* optional QK L2-norm attention with learnable per-head log-scale clamped at
+  ln(100) (``basic_var.py:67-70,101-105``); otherwise scale 0.25/sqrt(d).
+
+TPU-first: the whole teacher-forced pass is one jittable function (bf16
+matmuls, fp32 layer-norm statistics and logits head, matching the
+reference's fp32-forced regions ``var.py:200,223``); decode carries KV as
+traced values inside a single jitted 10-stage unrolled program so no host
+round-trips happen between scales.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from var_tpu.config import VARConfig
+from var_tpu.ops.attention import attention
+
+F32 = jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# static (config-derived) tables
+
+
+def level_ids(cfg: VARConfig) -> np.ndarray:
+    """(L,) int32: which pyramid scale each flat position belongs to."""
+    return np.concatenate(
+        [np.full(pn * pn, i, np.int32) for i, pn in enumerate(cfg.patch_nums)]
+    )
+
+
+def block_causal_bias(cfg: VARConfig) -> np.ndarray:
+    """(1, 1, L, L) additive mask: 0 where key-scale <= query-scale, -inf
+    otherwise (``var.py:107-112``)."""
+    d = level_ids(cfg)
+    mask = d[:, None] >= d[None, :]
+    return np.where(mask, 0.0, -np.inf).astype(np.float32)[None, None]
+
+
+# ---------------------------------------------------------------------------
+# init
+
+
+def _trunc_normal(key, shape, std):
+    if std <= 0:
+        return jnp.zeros(shape, F32)
+    # torch.nn.init.trunc_normal_ truncates at absolute +-2 (var.py:585)
+    return jax.random.truncated_normal(key, -2.0 / std, 2.0 / std, shape, F32) * std
+
+
+def init_var_params(
+    rng: jax.Array,
+    cfg: VARConfig,
+    init_std: float = -1.0,
+    init_head: float = 0.02,
+    init_adaln: float = 0.5,
+    init_adaln_gamma: float = 1e-5,
+) -> dict:
+    """Weight init replicating ``VAR.init_weights`` (``models/var.py:577-627``)
+    with build-time defaults from ``models/__init__.py`` / ``arg_util.py``
+    (ini=-1 -> std = sqrt(1/C/3); head *= hd; adaln scale/shift *= aln;
+    adaln gammas *= alng; residual projections /= sqrt(2*depth))."""
+    C, D, V = cfg.embed_dim, cfg.embed_dim, cfg.vocab_size
+    Cv = cfg.z_channels
+    std = math.sqrt(1.0 / C / 3.0) if init_std < 0 else init_std
+    keys = iter(jax.random.split(rng, 16 + 8 * cfg.depth))
+    resi_div = math.sqrt(2.0 * cfg.depth)
+
+    p: dict = {
+        "word_embed": {
+            "kernel": _trunc_normal(next(keys), (Cv, C), std),
+            "bias": jnp.zeros((C,), F32),
+        },
+        "class_emb": _trunc_normal(next(keys), (cfg.num_classes + 1, C), std),
+        "pos_start": _trunc_normal(next(keys), (1, cfg.first_l, C), std),
+        "pos_1LC": _trunc_normal(next(keys), (1, cfg.seq_len, C), std),
+        "lvl_embed": _trunc_normal(next(keys), (len(cfg.patch_nums), C), std),
+        "head_nm": {
+            "ada_lin": {
+                "kernel": _trunc_normal(next(keys), (D, 2 * C), std) * init_adaln,
+                "bias": jnp.zeros((2 * C,), F32),
+            }
+        },
+        "head": {
+            "kernel": _trunc_normal(next(keys), (C, V), std) * init_head,
+            "bias": jnp.zeros((V,), F32),
+        },
+    }
+    if cfg.shared_aln:
+        p["shared_ada_lin"] = {
+            "kernel": _trunc_normal(next(keys), (D, 6 * C), std),
+            "bias": jnp.zeros((6 * C,), F32),
+        }
+    blocks = []
+    for _ in range(cfg.depth):
+        blk: dict = {
+            "attn": {
+                "qkv": {"kernel": _trunc_normal(next(keys), (C, 3 * C), std)},
+                "q_bias": jnp.zeros((C,), F32),
+                "v_bias": jnp.zeros((C,), F32),
+                "proj": {
+                    "kernel": _trunc_normal(next(keys), (C, C), std) / resi_div,
+                    "bias": jnp.zeros((C,), F32),
+                },
+            },
+            "ffn": {
+                "fc1": {
+                    "kernel": _trunc_normal(next(keys), (C, round(C * cfg.mlp_ratio)), std),
+                    "bias": jnp.zeros((round(C * cfg.mlp_ratio),), F32),
+                },
+                "fc2": {
+                    "kernel": _trunc_normal(next(keys), (round(C * cfg.mlp_ratio), C), std)
+                    / resi_div,
+                    "bias": jnp.zeros((C,), F32),
+                },
+            },
+        }
+        if cfg.attn_l2_norm:
+            blk["attn"]["scale_mul"] = jnp.full((1, 1, cfg.num_heads, 1), math.log(4.0), F32)
+        if cfg.shared_aln:
+            gss = jax.random.normal(next(keys), (1, 1, 6, C), F32) / math.sqrt(C)
+            gss = gss.at[:, :, :2].mul(init_adaln_gamma).at[:, :, 2:].mul(init_adaln)
+            blk["ada_gss"] = gss
+        else:
+            k = _trunc_normal(next(keys), (D, 6 * C), std)
+            k = k.at[:, : 2 * C].mul(init_adaln_gamma).at[:, 2 * C :].mul(init_adaln)
+            blk["ada_lin"] = {"kernel": k, "bias": jnp.zeros((6 * C,), F32)}
+        blocks.append(blk)
+    p["blocks"] = blocks
+    return p
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(a.shape)) for a in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+
+
+def _ln(x: jax.Array, eps: float) -> jax.Array:
+    """LayerNorm without affine params, fp32 statistics (``basic_var.py:141``)."""
+    xf = x.astype(F32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return (xf - mu) * jax.lax.rsqrt(var + eps)
+
+
+def _l2norm(x: jax.Array) -> jax.Array:
+    xf = x.astype(F32)
+    return xf * jax.lax.rsqrt(jnp.sum(xf * xf, axis=-1, keepdims=True) + 1e-24)
+
+
+def _linear(p: dict, x: jax.Array) -> jax.Array:
+    y = x @ p["kernel"].astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def _adaln6(blk: dict, cfg: VARConfig, cond_ctx) -> jax.Array:
+    """(B, 1, 6, C) modulation params for one block."""
+    kind, val = cond_ctx
+    if kind == "shared":  # val: (B, 1, 6, C) from shared_ada_lin (var.py:15-18)
+        return blk["ada_gss"].astype(F32) + val
+    # val: (B, D) raw class embedding
+    h = jax.nn.silu(val.astype(F32))
+    return _linear(blk["ada_lin"], h).reshape(-1, 1, 6, cfg.embed_dim)
+
+
+def attn_apply(
+    ap: dict,
+    cfg: VARConfig,
+    x: jax.Array,
+    bias: Optional[jax.Array],
+    cache: Optional[dict] = None,
+    impl: str = "xla",
+) -> Tuple[jax.Array, Optional[dict]]:
+    """Self-attention with fused QKV, zero k-bias, optional QK L2-norm and
+    KV-cache append (``basic_var.py:90-119``)."""
+    b, l, c = x.shape
+    h, d = cfg.num_heads, cfg.head_dim
+    dtype = x.dtype
+    qkv_bias = jnp.concatenate(
+        [ap["q_bias"], jnp.zeros_like(ap["q_bias"]), ap["v_bias"]]
+    ).astype(dtype)
+    qkv = (x @ ap["qkv"]["kernel"].astype(dtype) + qkv_bias).reshape(b, l, 3, h, d)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    if cfg.attn_l2_norm:
+        scale = 1.0
+        scale_mul = jnp.exp(jnp.minimum(ap["scale_mul"].astype(F32), math.log(100.0)))
+        q = (_l2norm(q) * scale_mul).astype(dtype)
+        k = _l2norm(k).astype(dtype)
+    else:
+        scale = 0.25 / math.sqrt(d)
+    if cache is not None:
+        if cache.get("k") is not None:
+            k = jnp.concatenate([cache["k"], k], axis=1)
+            v = jnp.concatenate([cache["v"], v], axis=1)
+        cache = {"k": k, "v": v}
+    out = attention(q, k, v, scale, bias=bias, impl=impl).reshape(b, l, c)
+    return _linear(ap["proj"], out), cache
+
+
+def ffn_apply(fp: dict, x: jax.Array) -> jax.Array:
+    """Linear-GELU(tanh)-Linear (``basic_var.py:33-52``)."""
+    return _linear(fp["fc2"], jax.nn.gelu(_linear(fp["fc1"], x), approximate=True))
+
+
+def block_apply(
+    blk: dict,
+    cfg: VARConfig,
+    x: jax.Array,
+    cond_ctx,
+    bias: Optional[jax.Array],
+    cache: Optional[dict] = None,
+    impl: str = "xla",
+    drop_path_mask: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> Tuple[jax.Array, Optional[dict]]:
+    """Pre-norm AdaLN block (``basic_var.py:152-158``):
+    x += dp(attn(ln(x)*(s1+1)+sh1) * g1); x += dp(ffn(ln(x)*(s2+1)+sh2) * g2).
+    """
+    dtype = x.dtype
+    p6 = _adaln6(blk, cfg, cond_ctx)
+    g1, g2, s1, s2, sh1, sh2 = [p6[:, :, i] for i in range(6)]
+    a_in = (_ln(x, cfg.norm_eps) * (s1 + 1.0) + sh1).astype(dtype)
+    a_out, cache = attn_apply(blk["attn"], cfg, a_in, bias, cache, impl)
+    a_out = a_out * g1.astype(dtype)
+    if drop_path_mask is not None:
+        a_out = a_out * drop_path_mask[0].astype(dtype)
+    x = x + a_out
+    f_in = (_ln(x, cfg.norm_eps) * (s2 + 1.0) + sh2).astype(dtype)
+    f_out = ffn_apply(blk["ffn"], f_in) * g2.astype(dtype)
+    if drop_path_mask is not None:
+        f_out = f_out * drop_path_mask[1].astype(dtype)
+    x = x + f_out
+    return x, cache
+
+
+def get_logits(params: dict, cfg: VARConfig, h: jax.Array, cond_bd: jax.Array) -> jax.Array:
+    """AdaLN-before-head + classifier head, all fp32 (``var.py:118-124``)."""
+    hf = h.astype(F32)
+    ada = _linear(params["head_nm"]["ada_lin"], jax.nn.silu(cond_bd.astype(F32)))
+    ada = ada.reshape(-1, 1, 2, cfg.embed_dim)
+    scale, shift = ada[:, :, 0], ada[:, :, 1]
+    hf = _ln(hf, cfg.norm_eps) * (scale + 1.0) + shift
+    return _linear(params["head"], hf)
+
+
+def cond_context(params: dict, cfg: VARConfig, cond_bd: jax.Array):
+    """Precompute per-forward conditioning (``var.py:165,210``)."""
+    if cfg.shared_aln:
+        gss = _linear(params["shared_ada_lin"], jax.nn.silu(cond_bd.astype(F32)))
+        return ("shared", gss.reshape(-1, 1, 6, cfg.embed_dim))
+    return ("perblock", cond_bd)
+
+
+def lvl_pos_embed(params: dict, cfg: VARConfig) -> jax.Array:
+    """(1, L, C) = scale embedding + absolute positions (``var.py:153``)."""
+    lvl = jnp.asarray(level_ids(cfg))
+    return jnp.take(params["lvl_embed"], lvl, axis=0)[None] + params["pos_1LC"]
+
+
+# ---------------------------------------------------------------------------
+# teacher-forced forward (training / likelihood scoring)
+
+
+def var_forward(
+    params: dict,
+    cfg: VARConfig,
+    label_b: jax.Array,
+    x_blcv_wo_first_l: Optional[jax.Array],
+    *,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+    prog_si: int = -1,
+    dtype=jnp.bfloat16,
+    attn_impl: str = "xla",
+) -> jax.Array:
+    """Teacher-forced forward (``var.py:192-234``) -> fp32 logits (B, ed, V).
+
+    ``x_blcv_wo_first_l``: (B, L - first_l, Cvae) quantizer-space inputs from
+    ``quantizer.idxBl_to_var_input``. ``prog_si`` >= 0 truncates the sequence
+    for progressive training (static argument).
+    """
+    b = label_b.shape[0]
+    ed = cfg.seq_len if prog_si < 0 else cfg.begin_ends[prog_si][1]
+    if train and cfg.cond_drop_rate > 0:
+        assert rng is not None, "training forward needs an rng for cond-drop"
+        rng, r_drop = jax.random.split(rng)
+        drop = jax.random.uniform(r_drop, (b,)) < cfg.cond_drop_rate
+        label_b = jnp.where(drop, cfg.num_classes, label_b)
+    cond_bd = jnp.take(params["class_emb"], label_b, axis=0)  # (B, C) fp32
+    sos = cond_bd[:, None, :] + params["pos_start"]  # (B, first_l, C)
+    sos = jnp.broadcast_to(sos, (b, cfg.first_l, cfg.embed_dim))
+    if prog_si == 0:
+        x = sos
+    else:
+        tok = x_blcv_wo_first_l[:, : ed - cfg.first_l].astype(F32)
+        x = jnp.concatenate([sos, _linear(params["word_embed"], tok)], axis=1)
+    x = x + lvl_pos_embed(params, cfg)[:, :ed]
+
+    bias = jnp.asarray(block_causal_bias(cfg)[:, :, :ed, :ed])
+    ctx = cond_context(params, cfg, cond_bd)
+    x = x.astype(dtype)
+    dp_rates = np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
+    for i, blk in enumerate(params["blocks"]):
+        dp_mask = None
+        if train and dp_rates[i] > 0:
+            rng, r1, r2 = jax.random.split(rng, 3)
+            keep = 1.0 - dp_rates[i]
+            m1 = jax.random.bernoulli(r1, keep, (b, 1, 1)).astype(F32) / keep
+            m2 = jax.random.bernoulli(r2, keep, (b, 1, 1)).astype(F32) / keep
+            dp_mask = (m1, m2)
+        x, _ = block_apply(blk, cfg, x, ctx, bias, impl=attn_impl, drop_path_mask=dp_mask)
+    return get_logits(params, cfg, x, cond_bd)
+
+
+# ---------------------------------------------------------------------------
+# KV-cached stage step (inference)
+
+
+def transformer_stage(
+    params: dict,
+    cfg: VARConfig,
+    x: jax.Array,
+    cond_ctx,
+    caches: Optional[List[Optional[dict]]],
+    dtype=jnp.bfloat16,
+    attn_impl: str = "xla",
+) -> Tuple[jax.Array, List[dict]]:
+    """Run all blocks over one scale's token map with KV caching
+    (``var.py:166-169``). ``caches`` is a per-block list; pass None to start.
+    Returns hidden states (not logits) and updated caches."""
+    if caches is None:
+        caches = [{"k": None, "v": None} for _ in params["blocks"]]
+    x = x.astype(dtype)
+    new_caches = []
+    for blk, cache in zip(params["blocks"], caches):
+        x, cache = block_apply(blk, cfg, x, cond_ctx, bias=None, cache=cache, impl=attn_impl)
+        new_caches.append(cache)
+    return x, new_caches

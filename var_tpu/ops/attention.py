@@ -1,0 +1,45 @@
+"""Attention for the VAR transformer.
+
+The reference dispatches flash-attn / xformers / torch-SDPA CUDA kernels
+(``models/basic_var.py:14-30,96-117``). Here the default is an XLA
+dot-general pair (fuses well on the MXU for VAR's short sequences: 680
+tokens @256px), with a Pallas flash-attention kernel for the longer 512px /
+1024px presets (``var_tpu.ops.pallas.flash_attention``).
+
+Layout is BLHD (batch, seq, heads, head_dim) to match flash kernels and
+avoid transposes at the callsite.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_IMPL = "xla"
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float | jax.Array,
+    bias: Optional[jax.Array] = None,
+    impl: str = DEFAULT_IMPL,
+) -> jax.Array:
+    """softmax(q @ k^T * scale + bias) @ v.
+
+    q: (B, Lq, H, D); k, v: (B, Lk, H, D); bias broadcastable to
+    (B, H, Lq, Lk) (the reference's additive block-causal mask,
+    ``var.py:107-112``). Softmax in fp32; output in q.dtype.
+    """
+    if impl == "pallas":
+        from var_tpu.ops.pallas.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale, bias=bias)
+    logits = jnp.einsum("blhd,bmhd->bhlm", q, k).astype(jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhlm,bmhd->blhd", probs, v)
