@@ -1,0 +1,150 @@
+"""Training-engine tests: 2-step smoke (the reference local_debug analogue,
+train.py:140-162), schedule parity, weight-decay mask rules, and a DP test
+over the 8-device CPU mesh.
+"""
+
+import math
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from var_tpu.config import TrainArgs, VAEConfig, VARConfig
+from var_tpu.engine import trainer as tr
+from var_tpu.engine.schedules import lr_factor, wd_value
+from var_tpu.models import vae as vae_mod
+from var_tpu.models import var as var_mod
+
+PNS = (1, 2, 3)
+
+
+def tiny_setup(seed=0):
+    vae_cfg = VAEConfig(vocab_size=32, z_channels=8, ch=32, ch_mult=(1, 1), v_patch_nums=PNS)
+    var_cfg = VARConfig(
+        num_classes=6, depth=2, embed_dim=32, num_heads=2, patch_nums=PNS,
+        vocab_size=32, z_channels=8, attn_l2_norm=True,
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    vae_params = vae_mod.init_vae_params(k1, vae_cfg)
+    var_params = var_mod.init_var_params(k2, var_cfg)
+    return vae_cfg, var_cfg, vae_params, var_params
+
+
+def test_two_step_train_smoke():
+    """Forward+backward+optimizer for 2 steps on random tensors; loss finite
+    and params actually move (reference local_debug, train.py:140-162)."""
+    vae_cfg, var_cfg, vae_params, var_params = tiny_setup()
+    # patch_nums (1,2,3) -> input reso 3*2^(len(ch_mult)-1=1)... encoder
+    # downsample is 2^(nres-1)=2, so input H = 3*2 = 6
+    args = TrainArgs(depth=2, bs=4, ac=2, ep=2, tblr=1e-3, tclip=2.0, ls=0.1, pn="1_2_3")
+    args.finalize(world_size=1)
+    init_state, step = tr.make_train_step(
+        var_cfg, vae_cfg, args, iters_per_ep=4, dtype=jnp.float32
+    )
+    state = init_state(var_params)
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(rng, (2, 2, 6, 6, 3)) * 2 - 1  # (ac, B, H, W, 3)
+    labels = jnp.array([[0, 1], [2, 3]])
+    p0 = jax.tree.map(lambda x: x.copy(), state.params)
+    for it in range(2):
+        rng, r = jax.random.split(rng)
+        state, m = step(state, vae_params, imgs, labels, r, jnp.int32(it), jnp.float32(1.0))
+        assert np.isfinite(float(m.loss)), f"step {it}: loss not finite"
+        assert np.isfinite(float(m.grad_norm))
+    moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p0, state.params)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+    assert int(state.step) == 2
+    assert 0 <= float(m.accm) <= 100
+    assert m.per_scale_L.shape == (3,)
+
+
+def test_progressive_training_stage():
+    """prog_si=1 trains only scales 0..1 (5 tokens) with re-weighted loss."""
+    vae_cfg, var_cfg, vae_params, var_params = tiny_setup()
+    args = TrainArgs(depth=2, bs=2, ac=1, ep=2, pn="1_2_3").finalize(world_size=1)
+    init_state, step = tr.make_train_step(
+        var_cfg, vae_cfg, args, iters_per_ep=4, prog_si=1, dtype=jnp.float32
+    )
+    state = init_state(var_params)
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (1, 2, 6, 6, 3)) * 2 - 1
+    labels = jnp.array([[0, 1]])
+    state, m = step(state, vae_params, imgs, labels, jax.random.PRNGKey(2),
+                    jnp.int32(0), jnp.float32(0.5))
+    assert np.isfinite(float(m.loss))
+    assert float(m.Lt) == -1.0  # tail metrics disabled under prog (trainer.py:130-134)
+    assert np.isnan(np.asarray(m.per_scale_L)[2])  # scale 2 inactive
+
+
+def test_lr_schedule_matches_reference_formula():
+    """Re-derive lr_control.py:10-48 math independently and compare."""
+    wp_it, max_it, wp0, wpe = 10, 100, 0.005, 0.01
+    for sche in ("cos", "lin", "lin0", "lin00", "lin0.8", "exp"):
+        for it in (0, 3, 9, 10, 11, 50, 99):
+            got = float(lr_factor(sche, it, wp_it, max_it, wp0, wpe))
+            if it < wp_it:
+                want = wp0 + (1 - wp0) * it / wp_it
+            else:
+                pasd = (it - wp_it) / (max_it - 1 - wp_it)
+                rest = 1 - pasd
+                if sche == "cos":
+                    want = wpe + (1 - wpe) * (0.5 + 0.5 * math.cos(math.pi * pasd))
+                elif sche in ("lin", "lin0"):
+                    T = 0.15 if sche == "lin" else 0.05
+                    want = 1.0 if pasd < T else wpe + (1 - wpe) * rest / (1 - T)
+                elif sche == "lin00":
+                    want = wpe + (1 - wpe) * rest
+                elif sche == "exp":
+                    T = 0.15
+                    want = 1.0 if pasd < T else math.exp((pasd - T) / (1 - T) * math.log(wpe))
+                else:  # lin0.8
+                    T = 0.8
+                    max_rest = 1 - T
+                    wpe_mid = (1 + wpe + (1 - wpe) * max_rest) / 2
+                    want = (1 + (wpe_mid - 1) * pasd / T if pasd < T
+                            else wpe + (wpe_mid - wpe) * rest / max_rest)
+            assert abs(got - want) < 1e-5, (sche, it, got, want)
+    # wd half-cosine
+    assert abs(float(wd_value(0, 100, 0.05, 0.0)) - 0.05) < 1e-7
+    assert abs(float(wd_value(99, 100, 0.05, 0.0)) - 0.0) < 1e-7
+
+
+def test_weight_decay_mask_rules():
+    _, var_cfg, _, var_params = tiny_setup()
+    mask = tr.weight_decay_mask(var_params)
+    assert mask["pos_1LC"] is False and mask["pos_start"] is False
+    assert mask["lvl_embed"] is False
+    assert mask["class_emb"] is True  # 2-D, not in nowd list -> decayed
+    blk = mask["blocks"][0]
+    assert blk["attn"]["qkv"]["kernel"] is True
+    assert blk["attn"]["q_bias"] is False and blk["attn"]["v_bias"] is False
+    assert blk["attn"]["scale_mul"] is False
+    assert blk["ffn"]["fc1"]["bias"] is False and blk["ffn"]["fc1"]["kernel"] is True
+
+
+def test_data_parallel_step_on_mesh():
+    """Same loss/update with batch sharded over 8 CPU devices as on 1."""
+    from var_tpu.parallel import mesh as pm
+
+    vae_cfg, var_cfg, vae_params, var_params = tiny_setup()
+    args = TrainArgs(depth=2, bs=8, ac=1, ep=2, pn="1_2_3").finalize(world_size=8)
+    init_state, step = tr.make_train_step(
+        var_cfg, vae_cfg, args, iters_per_ep=4, dtype=jnp.float32
+    )
+    mesh = pm.make_mesh()
+    assert mesh.shape["data"] == 8
+    imgs = jax.random.uniform(jax.random.PRNGKey(3), (1, 8, 6, 6, 3)) * 2 - 1
+    labels = jnp.arange(8).reshape(1, 8) % 6
+
+    state = init_state(var_params)
+    state_sh = jax.device_put(state, pm.replicated(mesh))
+    vae_sh = jax.device_put(vae_params, pm.replicated(mesh))
+    imgs_sh = jax.device_put(imgs, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data")))
+    labels_sh = jax.device_put(labels, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data")))
+    s1, m1 = step(state_sh, vae_sh, imgs_sh, labels_sh, jax.random.PRNGKey(4),
+                  jnp.int32(0), jnp.float32(1.0))
+    s0, m0 = step(state, vae_params, imgs, labels, jax.random.PRNGKey(4),
+                  jnp.int32(0), jnp.float32(1.0))
+    np.testing.assert_allclose(float(m1.loss), float(m0.loss), rtol=1e-5)
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), s0.params, s1.params)
+    assert max(jax.tree_util.tree_leaves(d)) < 1e-5

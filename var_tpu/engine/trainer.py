@@ -1,0 +1,237 @@
+"""VAR training engine: loss, optimizer, jitted train/eval steps.
+
+Semantics follow the reference trainer (``trainer.py:20-160``,
+``utils/lr_control.py:68-108``, ``utils/amp_sc.py:39-75``):
+
+* teacher forcing: frozen-VAE tokenize -> quantizer teacher input ->
+  VAR forward -> CE(label_smooth) weighted 1/L, summed over L, mean over B.
+* progressive training re-weights the newly-activated scale by ``prog_wp``.
+* AdamW (0.9, 0.95) with weight decay only on >=2-D weights not in the
+  no-decay set {pos_1LC, pos_start, lvl_embed, ada_gss, scale_mul}
+  (``train.py:110-116``); grad clip BEFORE the step (``amp_sc.py:51-53``);
+  lr/wd annealed per iteration (``train.py:283``).
+* gradient accumulation: the step takes (ac, B, ...) microbatches and
+  lax.scans over them, accumulating grads with the same 1/ac loss scaling
+  (``amp_sc.py:43``).
+
+TPU-first: one jitted step covers tokenizer + forward + backward +
+optimizer; data parallelism comes from sharding the batch over the mesh's
+'data' axis (XLA inserts the gradient all-reduce — the DDP equivalent).
+bf16 compute / fp32 params+optimizer state (no loss scaler needed on TPU;
+reference fp16 GradScaler, ``amp_sc.py:27``, has no bf16 analogue).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from var_tpu.config import TrainArgs, VAEConfig, VARConfig
+from var_tpu.engine.schedules import lr_factor, wd_value
+from var_tpu.models import quantizer as q
+from var_tpu.models import vae as vae_mod
+from var_tpu.models import var as var_mod
+
+F32 = jnp.float32
+
+NOWD_NAMES = ("pos_1LC", "pos_start", "lvl_embed", "ada_gss", "scale_mul")
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array  # optimizer steps taken
+
+
+def weight_decay_mask(params) -> Any:
+    """True where AdamW weight decay applies (reference ``filter_params``
+    rule: ndim >= 2 and name not in nowd_keys). ``class_emb`` is 2-D and
+    absent from the reference nowd list, so it IS decayed; q/v biases and
+    all 1-D leaves are not."""
+
+    def decide(path, leaf):
+        names = [p.key for p in path if hasattr(p, "key")]
+        if any(n in NOWD_NAMES for n in names):
+            return False
+        return jnp.ndim(leaf) >= 2
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def make_adamw(tclip: float):
+    """(init, update) for torch-AdamW semantics with per-step lr/wd:
+    p -= lr * (adam(clip(g)) + wd * p * mask). Decay is neither clipped nor
+    momentum-tracked, matching torch.optim.AdamW."""
+    clip = optax.clip_by_global_norm(tclip) if tclip > 0 else optax.identity()
+    adam = optax.scale_by_adam(b1=0.9, b2=0.95, eps=1e-8)
+
+    def init(params):
+        return {"clip": clip.init(params), "adam": adam.init(params)}
+
+    def update(grads, opt_state, params, lr, wd):
+        gnorm = optax.global_norm(grads)
+        g, clip_state = clip.update(grads, opt_state["clip"], params)
+        u, adam_state = adam.update(g, opt_state["adam"], params)
+        mask = weight_decay_mask(params)
+        new_params = jax.tree.map(
+            lambda p, ui, mi: p - lr * (ui + (wd * p if mi else 0.0)), params, u, mask
+        )
+        return new_params, {"clip": clip_state, "adam": adam_state}, gnorm
+
+    return init, update
+
+
+# ---------------------------------------------------------------------------
+# loss & metrics
+
+
+def cross_entropy(logits: jax.Array, labels: jax.Array, label_smooth: float = 0.0) -> jax.Array:
+    """Per-position CE with torch label-smoothing semantics, fp32."""
+    logp = jax.nn.log_softmax(logits.astype(F32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    if label_smooth > 0.0:
+        smooth = -jnp.mean(logp, axis=-1)
+        nll = (1.0 - label_smooth) * nll + label_smooth * smooth
+    return nll
+
+
+class StepMetrics(NamedTuple):
+    loss: jax.Array
+    Lm: jax.Array  # mean unsmoothed CE
+    Lt: jax.Array  # tail (last-scale) CE; -1 under progressive training
+    accm: jax.Array  # mean top-1 acc (%)
+    acct: jax.Array  # tail top-1 acc (%)
+    grad_norm: jax.Array
+    lr: jax.Array
+    wd: jax.Array
+    per_scale_L: jax.Array  # (S,)
+    per_scale_acc: jax.Array  # (S,)
+    pred_hist: jax.Array  # (V,) argmax histogram -> z_voc_usage
+
+
+def _metrics_from_logits(logits, gt_bl, var_cfg: VARConfig, prog_si: int) -> Dict[str, jax.Array]:
+    ed = logits.shape[1]
+    pred = jnp.argmax(logits, axis=-1)
+    ce = cross_entropy(logits, gt_bl)
+    last_l = var_cfg.patch_nums[-1] ** 2
+    if prog_si < 0:
+        lt = ce[:, -last_l:].mean()
+        acct = (pred[:, -last_l:] == gt_bl[:, -last_l:]).mean() * 100.0
+    else:  # trainer.py:130-134
+        lt = jnp.float32(-1.0)
+        acct = jnp.float32(-1.0)
+    per_l, per_a = [], []
+    for si, (bg, e) in enumerate(var_cfg.begin_ends):
+        if e > ed:
+            per_l.append(jnp.float32(jnp.nan))
+            per_a.append(jnp.float32(jnp.nan))
+        else:
+            per_l.append(ce[:, bg:e].mean())
+            per_a.append((pred[:, bg:e] == gt_bl[:, bg:e]).mean() * 100.0)
+    hist = jnp.bincount(pred.reshape(-1), length=var_cfg.vocab_size).astype(F32)
+    return dict(
+        Lm=ce.mean(), Lt=lt, accm=(pred == gt_bl).mean() * 100.0, acct=acct,
+        per_scale_L=jnp.stack(per_l), per_scale_acc=jnp.stack(per_a), pred_hist=hist,
+    )
+
+
+# ---------------------------------------------------------------------------
+# train / eval steps
+
+
+def make_train_step(
+    var_cfg: VARConfig,
+    vae_cfg: VAEConfig,
+    args: TrainArgs,
+    iters_per_ep: int,
+    prog_si: int = -1,
+    dtype=jnp.bfloat16,
+    attn_impl: str = "xla",
+):
+    """Build (init_state, jitted step).
+
+    step(state, vae_params, imgs (ac, B, H, W, 3), labels (ac, B), rng,
+    g_it, prog_wp) -> (state, StepMetrics). ``prog_si`` is static: one
+    compiled graph per progressive stage, mirroring the reference's
+    stage-by-stage behaviour (``trainer.py:91-99``).
+    """
+    opt_init, opt_update = make_adamw(args.tclip)
+    max_it = float(args.ep * iters_per_ep)
+    wp_it = float(args.wp * iters_per_ep)
+    L = var_cfg.seq_len
+    ed = L if prog_si < 0 else var_cfg.begin_ends[prog_si][1]
+    bg = 0 if prog_si < 0 else var_cfg.begin_ends[prog_si][0]
+
+    def loss_fn(params, vae_params, img, label, rng, prog_wp):
+        idx_bl = vae_mod.img_to_idxBl(vae_params, vae_cfg, img)
+        gt_bl = jnp.concatenate(idx_bl, axis=1)[:, :ed]
+        x_in = q.idxBl_to_var_input(vae_params["quantize"], vae_cfg, idx_bl)
+        logits = var_mod.var_forward(
+            params, var_cfg, label, x_in, rng=rng, train=True,
+            prog_si=prog_si, dtype=dtype, attn_impl=attn_impl,
+        )
+        ce = cross_entropy(logits, gt_bl, args.ls)  # (B, ed)
+        lw = jnp.full((ed,), 1.0 / L, F32)
+        if prog_si >= 0:
+            lw = lw.at[bg:ed].mul(jnp.clip(prog_wp, 0.0, 1.0))
+        loss = (ce * lw[None]).sum(axis=-1).mean()
+        return loss, (logits, gt_bl)
+
+    def step(state: TrainState, vae_params, imgs, labels, rng, g_it, prog_wp):
+        ac = imgs.shape[0]
+
+        def micro(carry, xs):
+            grads_acc, loss_acc = carry
+            img, label, r = xs
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, vae_params, img, label, r, prog_wp
+            )
+            grads_acc = jax.tree.map(lambda a, g: a + g / ac, grads_acc, grads)
+            return (grads_acc, loss_acc + loss / ac), aux
+
+        zero = jax.tree.map(lambda p: jnp.zeros_like(p, F32), state.params)
+        rngs = jax.random.split(rng, ac)
+        (grads, loss), (logits, gt_bl) = jax.lax.scan(
+            micro, (zero, jnp.float32(0.0)), (imgs, labels, rngs)
+        )
+        lr = args.tlr * lr_factor(args.sche, g_it, wp_it, max_it, args.wp0, args.wpe)
+        wd = wd_value(g_it, max_it, args.twd, args.twde)
+        new_params, new_opt, gnorm = opt_update(grads, state.opt_state, state.params, lr, wd)
+        m = _metrics_from_logits(logits[-1], gt_bl[-1], var_cfg, prog_si)
+        metrics = StepMetrics(loss=loss, grad_norm=gnorm, lr=lr, wd=wd, **m)
+        return TrainState(new_params, new_opt, state.step + 1), metrics
+
+    def init_state(params) -> TrainState:
+        return TrainState(params, opt_init(params), jnp.int32(0))
+
+    return init_state, jax.jit(step)
+
+
+def make_eval_step(var_cfg: VARConfig, vae_cfg: VAEConfig, dtype=jnp.bfloat16, attn_impl="xla"):
+    """Validation step (reference ``eval_ep``, trainer.py:54-84): returns
+    summed [L_mean*B, L_tail*B, acc_mean_units, acc_tail_units, B] to be
+    all-reduced and divided by the total count."""
+    last_l = var_cfg.patch_nums[-1] ** 2
+
+    @jax.jit
+    def step(var_params, vae_params, img, label):
+        idx_bl = vae_mod.img_to_idxBl(vae_params, vae_cfg, img)
+        gt = jnp.concatenate(idx_bl, axis=1)
+        x_in = q.idxBl_to_var_input(vae_params["quantize"], vae_cfg, idx_bl)
+        logits = var_mod.var_forward(var_params, var_cfg, label, x_in, train=False,
+                                     dtype=dtype, attn_impl=attn_impl)
+        b = img.shape[0]
+        ce = cross_entropy(logits, gt)
+        pred = jnp.argmax(logits, -1)
+        return jnp.stack([
+            ce.mean() * b,
+            ce[:, -last_l:].mean() * b,
+            (pred == gt).sum() * (100.0 / gt.shape[1]),
+            (pred[:, -last_l:] == gt[:, -last_l:]).sum() * (100.0 / last_l),
+            jnp.float32(b),
+        ])
+
+    return step
