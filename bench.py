@@ -58,11 +58,10 @@ def main():
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     vae_params = vae_mod.init_vae_params(k1, vae_cfg)
     var_params = var_mod.init_var_params(k2, var_cfg)
-    # benchmark in bf16 on TPU (reference benches fp16 autocast)
+    # benchmark in bf16 compute on TPU (reference benches fp16 autocast);
+    # params stay fp32 — modules cast weights to the compute dtype on use,
+    # and the quantizer is fp32-forced (reference quant.py:53-61)
     dtype = jnp.float32 if smoke else jnp.bfloat16
-    if not smoke:
-        var_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), var_params)
-        vae_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), vae_params)
 
     sampler = make_sampler(var_cfg, vae_cfg, cfg_scale=1.5, top_k=900 if not smoke else 8,
                            top_p=0.96, dtype=dtype)

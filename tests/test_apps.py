@@ -1,0 +1,140 @@
+"""Apps layer tests on the tiny fixture models: smooth sampling, classifier
+modes, masks, embedding-space editing, demo grid."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from var_tpu.apps.classify import VARClassifier, cumsum_tokens, smooth_log_probs_by_k
+from var_tpu.apps.masks import generate_inpainting_mask, get_edit_mask, keep_scales_mask
+from var_tpu.config import VAEConfig, VARConfig
+from var_tpu.engine.convert import convert_vae, convert_var
+from var_tpu.engine.sampler import decode_cfg, smooth_sampling
+from var_tpu.models import vae as vae_mod
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "var_tiny.npz")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    data = np.load(FIXTURE)
+    pns = tuple(data["patch_nums"].tolist())
+    vae_cfg = VAEConfig(vocab_size=64, z_channels=8, ch=32, v_patch_nums=pns)
+    var_cfg = VARConfig(num_classes=10, depth=3, embed_dim=64, num_heads=4,
+                        attn_l2_norm=True, cond_drop_rate=0.0, patch_nums=pns,
+                        vocab_size=64, z_channels=8)
+    vae_params = convert_vae(
+        {k[7:]: data[k].astype(np.float32) for k in data.files if k.startswith("vae_sd/")},
+        vae_cfg)
+    var_params = convert_var(
+        {k[10:]: data[k].astype(np.float32) for k in data.files if k.startswith("l2/var_sd/")},
+        var_cfg)
+    img = jnp.asarray(np.transpose(data["l2/img"], (0, 2, 3, 1)))[:1]
+    gt = jnp.asarray(data["l2/gt_BL"])[:1]
+    return vae_cfg, var_cfg, vae_params, var_params, img, gt
+
+
+def test_masks():
+    pns = (1, 2, 3, 4)
+    m = keep_scales_mask(pns, 1)
+    assert m[:5].all() and not m[5:].any() and m.shape == (30,)
+    m2 = generate_inpainting_mask(pns, 1, [(0, 1)])
+    assert m2[0]  # scale 0 kept
+    assert not m2[1 + 1]  # (0,1) at scale 1 masked
+    # scale 2 region for (0,1): x in [0,2), y in [1.5->1, 3]
+    m3 = generate_inpainting_mask(pns, 1, [(0, 1)], reverse=True)
+    assert (m3 == ~m2).all()
+    em = get_edit_mask(pns, 0.25, 0.25, 0.75, 0.75, inpainting=True)
+    assert em.shape == (4, 4)
+    assert em[0, 0] == 1.0 and em[1, 1] == 0.0  # center regenerated
+
+
+def test_smooth_sampling_runs_and_respects_neighbors(setup):
+    vae_cfg, var_cfg, vae_params, var_params, img, gt = setup
+    res = smooth_sampling(var_params, vae_params, var_cfg, vae_cfg, gt, n=8,
+                          label_b=jnp.asarray([3]), cfg_scale=1.5, dtype=jnp.float32)
+    assert res.image.shape[1:] == (64, 64, 3)
+    assert np.isfinite(float(res.log_likelihood))
+    assert np.isfinite(float(res.distance_log_likelihood))
+    # scale 0 (ratio 0): candidate count = 1 -> token must equal nearest
+    # neighbor of gt token = gt token itself (distance 0)
+    assert int(res.tokens[0, 0]) == int(gt[0, 0])
+
+
+def test_smooth_sampling_threshold_mode(setup):
+    vae_cfg, var_cfg, vae_params, var_params, img, gt = setup
+    res = smooth_sampling(var_params, vae_params, var_cfg, vae_cfg, gt, n=8,
+                          label_b=jnp.asarray([3]), neighbor_threshold=1e-6,
+                          dtype=jnp.float32)
+    # threshold ~0: only the gt token itself is ever a candidate
+    np.testing.assert_array_equal(np.asarray(res.tokens), np.asarray(gt))
+
+
+def test_smooth_log_probs_by_k_grouping():
+    logits = jnp.asarray(np.random.default_rng(0).standard_normal((1, 2, 10)), jnp.float32)
+    lp = jax.nn.log_softmax(logits, -1)
+    sm = smooth_log_probs_by_k(lp, k=10)
+    # k=V -> uniform distribution
+    np.testing.assert_allclose(np.asarray(jnp.exp(sm)), 0.1, rtol=1e-4)
+    sm1 = smooth_log_probs_by_k(lp, k=1)
+    np.testing.assert_allclose(np.asarray(sm1), np.asarray(lp), atol=1e-5)
+    # k=3 with V=10 exercises the remainder-padding path
+    sm3 = smooth_log_probs_by_k(lp, k=3)
+    np.testing.assert_allclose(np.asarray(jnp.exp(sm3).sum(-1)), 1.0, rtol=1e-3)
+
+
+@pytest.mark.parametrize("mode", ["bayesian", "smooth_bayesian", "fast_neighbor_bayesian"])
+def test_classifier_modes(setup, mode):
+    vae_cfg, var_cfg, vae_params, var_params, img, gt = setup
+    clf = VARClassifier(var_params, vae_params, var_cfg, vae_cfg, mode=mode,
+                        threshold=5.0, smooth_k=4)
+    ll = clf.class_likelihoods(img, list(range(10)), batch_size=5)
+    assert ll.shape == (10,) and np.isfinite(ll).all()
+    pred = clf.classify(img, 10)
+    assert 0 <= pred < 10
+
+
+def test_classifier_clayer_restricts(setup):
+    vae_cfg, var_cfg, vae_params, var_params, img, gt = setup
+    full = VARClassifier(var_params, vae_params, var_cfg, vae_cfg, mode="bayesian")
+    part = VARClassifier(var_params, vae_params, var_cfg, vae_cfg, mode="bayesian", Clayer=2)
+    ll_full = full.class_likelihoods(img, [0, 1], batch_size=2)
+    ll_part = part.class_likelihoods(img, [0, 1], batch_size=2)
+    assert (ll_part > ll_full).all()  # fewer (negative) terms summed
+    assert cumsum_tokens((1, 2, 3, 4)) == [0, 1, 5, 14, 30]
+
+
+def test_classifier_gen_mode_vae_feat(setup):
+    vae_cfg, var_cfg, vae_params, var_params, img, gt = setup
+    clf = VARClassifier(var_params, vae_params, var_cfg, vae_cfg, mode="gen",
+                        Clayer=2, feat="vae_fhat")
+    ll = clf.class_likelihoods(img, [0, 1], batch_size=1)
+    assert ll.shape == (2,) and np.isfinite(ll).all() and (ll <= 0).all()
+
+
+def test_edit_mask_decode_keeps_gt_embeddings(setup):
+    vae_cfg, var_cfg, vae_params, var_params, img, gt = setup
+    em = jnp.asarray(get_edit_mask(var_cfg.patch_nums, 0.0, 0.0, 1.0, 1.0,
+                                   inpainting=False))  # keep everything
+    res = decode_cfg(var_params, vae_params, var_cfg, vae_cfg,
+                     jax.random.PRNGKey(0), jnp.asarray([3]), cfg_scale=1.5,
+                     top_k=4, dtype=jnp.float32, gt_tokens=gt, edit_mask=em)
+    # full-keep edit must reproduce the VAE reconstruction of gt tokens
+    idx_bl = [gt[:, b:e] for (b, e) in var_cfg.begin_ends]
+    want = vae_mod.idxBl_to_img(vae_params, vae_cfg, idx_bl, last_one=True) * 0.5 + 0.5
+    np.testing.assert_allclose(np.asarray(res.image), np.asarray(want), atol=2e-5)
+
+
+def test_save_grid(tmp_path):
+    from var_tpu.apps.sample import save_grid
+
+    imgs = np.random.default_rng(0).uniform(0, 1, (6, 8, 8, 3))
+    path = str(tmp_path / "grid.png")
+    save_grid(imgs, path, per_row=4)
+    from PIL import Image
+
+    g = Image.open(path)
+    assert g.size == (32, 16)

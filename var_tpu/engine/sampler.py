@@ -57,13 +57,20 @@ def decode_cfg(
     attn_impl: str = "xla",
     gt_tokens: Optional[jax.Array] = None,
     keep_mask: Optional[jax.Array] = None,
+    edit_mask: Optional[jax.Array] = None,
 ) -> DecodeResult:
     """Class-conditional CFG decode; with ``gt_tokens``+``keep_mask`` it is
     token-mask inpainting (kept positions take ground-truth ids and steer all
-    later scales through the shared f_hat, ``var.py:312-328``).
+    later scales through the shared f_hat, ``var.py:312-328``); with
+    ``gt_tokens``+``edit_mask`` it is the notebook's embedding-space box
+    editing (``demo_zero_shot_edit.ipynb`` cell 2): per scale the spatial
+    (ph, pw) mask is bilinearly downsampled, thresholded at 0.5, and blends
+    ground-truth vs generated codebook embeddings; scales with <= 3 tokens
+    are forced all-ground-truth (``replace_embedding``).
 
     ``label_b``: (B,) int32 class labels. ``keep_mask``: (B, L) bool, True =
-    keep ground truth. Returns images in [0, 1].
+    keep ground truth. ``edit_mask``: (ph, pw) float, 1 = keep ground truth.
+    Returns images in [0, 1].
     """
     b = label_b.shape[0]
     pns = var_cfg.patch_nums
@@ -92,7 +99,7 @@ def decode_cfg(
         lg = _cfg_logits(logits, b, cfg_scale * ratio)
         rng, r_samp, r_gum = jax.random.split(rng, 3)
         idx = sample_with_top_k_top_p(r_samp, lg, top_k=top_k, top_p=top_p)
-        if gt_tokens is not None:
+        if gt_tokens is not None and keep_mask is not None:
             keep = keep_mask[:, cur : cur + seg]
             idx = jnp.where(keep, gt_tokens[:, cur : cur + seg], idx)
         token_segs.append(idx)
@@ -103,6 +110,18 @@ def decode_cfg(
         else:
             h = q.embed(qp, idx)
         h = h.reshape(b, pn, pn, vae_cfg.z_channels)
+        if edit_mask is not None and gt_tokens is not None:
+            from var_tpu.ops.resize import resize_bilinear
+
+            gt_h = q.embed(qp, gt_tokens[:, cur : cur + seg]).reshape(
+                b, pn, pn, vae_cfg.z_channels
+            )
+            if seg <= 3:  # tiny scales: keep ground truth entirely
+                force = jnp.ones((1, pn, pn, 1), F32)
+            else:
+                m = resize_bilinear(edit_mask[None, :, :, None], (pn, pn))
+                force = (m > 0.5).astype(F32)
+            h = gt_h * force + h * (1.0 - force)
         f_hat, nxt = q.get_next_autoregressive_input(qp, vae_cfg, si, f_hat, h, pns)
         cur += seg
         if si != sn - 1:
@@ -111,7 +130,9 @@ def decode_cfg(
             ntm = ntm + lvl_pos[:, cur : cur + nseg]
             ntm = jnp.tile(ntm, (2, 1, 1))  # CFG batch doubling (var.py:187)
 
-    img = vae_mod.fhat_to_img(vae_params, vae_cfg, f_hat) * 0.5 + 0.5
+    # VAE decoder at compute dtype (reference decodes under fp16 autocast)
+    img = vae_mod.fhat_to_img(vae_params, vae_cfg, f_hat.astype(dtype)).astype(F32)
+    img = img * 0.5 + 0.5
     return DecodeResult(img, jnp.concatenate(token_segs, axis=1), f_hat)
 
 
@@ -151,3 +172,117 @@ def make_sampler(
             var_params, vae_params, var_cfg, vae_cfg, rng, label_b
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# neighbor-constrained "smooth sampling" (reference var.py:366-575)
+
+
+class SmoothResult(NamedTuple):
+    image: jax.Array  # (B, H, W, 3) in [0, 1]
+    tokens: jax.Array  # (B, L) selected token ids
+    log_likelihood: jax.Array  # scalar: sum of selected model log-probs
+    distance_log_likelihood: jax.Array  # scalar: sum of distance log-probs
+
+
+def codebook_neighbor_tables(embedding: jax.Array, n: int):
+    """(dists (V, V) L2, top-n neighbor ids (V, n), their dists (V, n)).
+
+    Precomputed once per codebook (reference recomputes per call,
+    var.py:459-462 — hoisting it out is free accuracy-neutral speedup)."""
+    emb = embedding.astype(F32)
+    sq = jnp.sum(emb * emb, axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (emb @ emb.T)
+    dists = jnp.sqrt(jnp.maximum(d2, 0.0))
+    neg_top, idx_top = jax.lax.top_k(-dists, n)  # ascending distance
+    return dists, idx_top, -neg_top
+
+
+def smooth_sampling(
+    var_params: dict,
+    vae_params: dict,
+    var_cfg: VARConfig,
+    vae_cfg: VAEConfig,
+    gt_tokens: jax.Array,
+    n: int,
+    label_b: jax.Array,
+    cfg_scale: float = 1.5,
+    neighbor_threshold: Optional[float] = None,
+    dtype=jnp.bfloat16,
+    attn_impl: str = "xla",
+) -> SmoothResult:
+    """Regenerate an image constrained to codebook-space neighbors of the
+    ground-truth tokens (reference ``VAR.smooth_sampling``).
+
+    Candidate-count mode (``neighbor_threshold is None``): at scale ratio r
+    the candidate set is the 1 + int((n-1)*r) nearest neighbors of each GT
+    token; pick the candidate with max model log-prob (var.py:498-502).
+    Threshold mode: candidates within d_min + (thr - d_min)*r; all-masked
+    positions fall back to the nearest neighbor (var.py:504-527).
+    """
+    b = gt_tokens.shape[0]
+    pns = var_cfg.patch_nums
+    sn = len(pns)
+    qp = vae_params["quantize"]
+    dists, top_n, top_n_dists = codebook_neighbor_tables(qp["embedding"], n)
+
+    labels2 = jnp.concatenate([label_b, jnp.full_like(label_b, var_cfg.num_classes)])
+    cond_bd = jnp.take(var_params["class_emb"], labels2, axis=0)
+    ctx = var_mod.cond_context(var_params, var_cfg, cond_bd)
+    lvl_pos = var_mod.lvl_pos_embed(var_params, var_cfg)
+    ntm = cond_bd[:, None, :] + var_params["pos_start"] + lvl_pos[:, : var_cfg.first_l]
+
+    f_hat = jnp.zeros((b, pns[-1], pns[-1], vae_cfg.z_channels), F32)
+    caches = None
+    cur = 0
+    sum_ll = jnp.float32(0.0)
+    sum_dll = jnp.float32(0.0)
+    token_segs = []
+    for si, pn in enumerate(pns):
+        ratio = si / var_cfg.num_stages_minus_1
+        seg = pn * pn
+        x, caches = var_mod.transformer_stage(
+            var_params, var_cfg, ntm, ctx, caches, dtype=dtype, attn_impl=attn_impl
+        )
+        logits = var_mod.get_logits(var_params, var_cfg, x, cond_bd)
+        lg = _cfg_logits(logits, b, cfg_scale * ratio)
+        log_probs = jax.nn.log_softmax(lg, axis=-1)  # (B, seg, V)
+
+        gt_seg = gt_tokens[:, cur : cur + seg]  # (B, seg)
+        cand = jnp.take(top_n, gt_seg, axis=0)  # (B, seg, n)
+        cand_dists = jnp.take(top_n_dists, gt_seg, axis=0)  # (B, seg, n)
+        dist_logp = jax.nn.log_softmax(-cand_dists, axis=-1)
+        cand_logp = jnp.take_along_axis(log_probs, cand, axis=-1)  # (B, seg, n)
+
+        if neighbor_threshold is None:
+            count = 1 + int((n - 1) * ratio)
+            masked_logp = jnp.where(
+                jnp.arange(n) < count, cand_logp, -jnp.inf
+            )
+        else:
+            d_min = cand_dists[:, :, :1]
+            eff = d_min + (neighbor_threshold - d_min) * ratio
+            masked_logp = jnp.where(cand_dists <= eff, cand_logp, -jnp.inf)
+        max_idx = jnp.argmax(masked_logp, axis=-1)  # (B, seg)
+        max_val = jnp.take_along_axis(masked_logp, max_idx[..., None], -1)[..., 0]
+        # fallback to nearest neighbor when all candidates masked (var.py:521-527)
+        all_masked = ~jnp.isfinite(max_val)
+        max_idx = jnp.where(all_masked, 0, max_idx)
+        max_val = jnp.where(all_masked, cand_logp[..., 0], max_val)
+
+        tokens = jnp.take_along_axis(cand, max_idx[..., None], -1)[..., 0]
+        token_segs.append(tokens)
+        sum_ll = sum_ll + max_val.sum()
+        sum_dll = sum_dll + jnp.take_along_axis(dist_logp, max_idx[..., None], -1)[..., 0].sum()
+
+        h = q.embed(qp, tokens).reshape(b, pn, pn, vae_cfg.z_channels)
+        f_hat, nxt = q.get_next_autoregressive_input(qp, vae_cfg, si, f_hat, h, pns)
+        cur += seg
+        if si != sn - 1:
+            nseg = pns[si + 1] ** 2
+            ntm = var_mod._linear(var_params["word_embed"], nxt.reshape(b, nseg, -1).astype(F32))
+            ntm = ntm + lvl_pos[:, cur : cur + nseg]
+            ntm = jnp.tile(ntm, (2, 1, 1))
+
+    img = vae_mod.fhat_to_img(vae_params, vae_cfg, f_hat) * 0.5 + 0.5
+    return SmoothResult(img, jnp.concatenate(token_segs, axis=1), sum_ll, sum_dll)

@@ -1,0 +1,67 @@
+"""Model factory (reference ``models/__init__.py:9-39``).
+
+``build_vae_var`` derives width = 64*depth, heads = depth,
+drop_path = 0.1*depth/24, builds the frozen VQVAE + VAR param pytrees and
+returns (configs, params). Published checkpoints load via
+``var_tpu.engine.convert``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+
+from var_tpu.config import VAEConfig, VARConfig
+from var_tpu.models import quantizer, vae, var
+
+
+def build_vae_var(
+    rng: Optional[jax.Array] = None,
+    patch_nums: Tuple[int, ...] = (1, 2, 3, 4, 5, 6, 8, 10, 13, 16),
+    V: int = 4096,
+    Cvae: int = 32,
+    ch: int = 160,
+    share_quant_resi: int = 4,
+    num_classes: int = 1000,
+    depth: int = 16,
+    shared_aln: bool = False,
+    attn_l2_norm: bool = True,
+    init_adaln: float = 0.5,
+    init_adaln_gamma: float = 1e-5,
+    init_head: float = 0.02,
+    init_std: float = -1.0,
+    vae_ckpt: Optional[str] = None,
+    var_ckpt: Optional[str] = None,
+):
+    """Returns (vae_cfg, var_cfg, vae_params, var_params).
+
+    With ``vae_ckpt``/``var_ckpt`` paths (.pth), loads the published torch
+    weights instead of random init (reference train.py:93-98 wget+load flow
+    minus the download — zero-egress environment).
+    """
+    vae_cfg = VAEConfig(vocab_size=V, z_channels=Cvae, ch=ch,
+                        share_quant_resi=share_quant_resi, v_patch_nums=patch_nums)
+    var_cfg = VARConfig.from_depth(
+        depth, num_classes=num_classes, shared_aln=shared_aln,
+        attn_l2_norm=attn_l2_norm, patch_nums=patch_nums,
+        vocab_size=V, z_channels=Cvae,
+    )
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    r1, r2 = jax.random.split(rng)
+    if vae_ckpt:
+        from var_tpu.engine.convert import convert_vae, load_torch_state_dict
+
+        vae_params = convert_vae(load_torch_state_dict(vae_ckpt), vae_cfg)
+    else:
+        vae_params = vae.init_vae_params(r1, vae_cfg)
+    if var_ckpt:
+        from var_tpu.engine.convert import convert_var, load_torch_state_dict
+
+        var_params = convert_var(load_torch_state_dict(var_ckpt), var_cfg)
+    else:
+        var_params = var.init_var_params(
+            r2, var_cfg, init_std=init_std, init_head=init_head,
+            init_adaln=init_adaln, init_adaln_gamma=init_adaln_gamma,
+        )
+    return vae_cfg, var_cfg, vae_params, var_params

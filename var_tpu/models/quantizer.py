@@ -90,12 +90,12 @@ def apply_phi(params: dict, cfg: VAEConfig, si: int, h: jax.Array, num_scales=No
     p = params["phi"][phi_index(cfg, si, num_scales)]
     conv = jax.lax.conv_general_dilated(
         h.astype(jnp.float32),
-        p["kernel"],
+        p["kernel"].astype(jnp.float32),
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=HIGHEST,
-    ) + p["bias"]
+    ) + p["bias"].astype(jnp.float32)
     return h * (1.0 - r) + conv * r
 
 

@@ -53,9 +53,27 @@ def top_k_top_p_mask(logits: jax.Array, top_k: int = 0, top_p: float = 0.0) -> j
 def sample_with_top_k_top_p(
     rng: jax.Array, logits: jax.Array, top_k: int = 0, top_p: float = 0.0
 ) -> jax.Array:
-    """Sample one token per position from filtered logits. Returns int32 (...)."""
-    masked = top_k_top_p_mask(logits.astype(jnp.float32), top_k=top_k, top_p=top_p)
-    return jax.random.categorical(rng, masked, axis=-1)
+    """Sample one token per position from filtered logits. Returns int32 (...).
+
+    TPU fast path: one ``lax.top_k`` puts the candidates in descending
+    order; the top-p cutoff is then a prefix-sum test in sorted space
+    (remove rank r when the mass of strictly better ranks >= p — the
+    descending-order restatement of helpers.py:12-15, which always keeps
+    the argmax) and sampling happens over the k-wide candidate set. This
+    replaces the reference-shaped sort + two argsorts + full-vocab
+    softmax/cumsum per token; only boundary-tie handling differs (exact
+    fp32 ties at the k-th logit), which has zero probability in practice.
+    """
+    v = logits.shape[-1]
+    lf = logits.astype(jnp.float32)
+    k = top_k if top_k > 0 else v
+    vals, idx = jax.lax.top_k(lf, k)  # descending candidates
+    if top_p > 0.0:
+        probs = jax.nn.softmax(vals, axis=-1)
+        better_mass = jnp.cumsum(probs, axis=-1) - probs
+        vals = jnp.where(better_mass >= top_p, _NEG_INF, vals)
+    r = jax.random.categorical(rng, vals, axis=-1)
+    return jnp.take_along_axis(idx, r[..., None], axis=-1)[..., 0]
 
 
 def gumbel_softmax(
