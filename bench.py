@@ -23,8 +23,19 @@ BASELINE_IMGS_PER_SEC = 40.0  # estimated reference d16 on H100-class, fp16, bs6
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache: the 10-stage decode graph is large (~8 min
+    # cold compile at d16); warm runs skip it entirely
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/var_tpu_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
 
     smoke = "--smoke" in sys.argv
 
@@ -57,7 +68,7 @@ def main():
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     vae_params = vae_mod.init_vae_params(k1, vae_cfg)
-    var_params = var_mod.init_var_params(k2, var_cfg)
+    var_params = var_mod.stack_block_params(var_mod.init_var_params(k2, var_cfg))
     # benchmark in bf16 compute on TPU (reference benches fp16 autocast);
     # params stay fp32 — modules cast weights to the compute dtype on use,
     # and the quantizer is fp32-forced (reference quant.py:53-61)

@@ -79,10 +79,10 @@ def main():
         else:
             log(f"WARNING: VAE checkpoint {vae_ckpt} not found; using random "
                 f"tokenizer (training will not be meaningful)", force=True)
-    var_params = var_mod.init_var_params(
+    var_params = var_mod.stack_block_params(var_mod.init_var_params(
         r_var, var_cfg, init_std=args.ini, init_head=args.hd,
         init_adaln=args.aln, init_adaln_gamma=args.alng,
-    )
+    ))
     log(f"VAR params: {var_mod.param_count(var_params)/1e6:.2f}M, "
         f"VAE params: {var_mod.param_count(vae_params)/1e6:.2f}M")
 

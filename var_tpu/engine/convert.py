@@ -181,6 +181,9 @@ def convert_var(sd, cfg: VARConfig) -> dict:
 def export_var_to_torch_names(params: dict, cfg: VARConfig) -> Dict[str, np.ndarray]:
     """Inverse of :func:`convert_var` — emit reference-named numpy arrays so
     checkpoints trained here can be consumed by torch-side tooling."""
+    from var_tpu.models.var import unstack_block_params
+
+    params = unstack_block_params(params, cfg.depth)
     out: Dict[str, np.ndarray] = {}
 
     def put(name, arr):

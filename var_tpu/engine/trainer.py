@@ -48,15 +48,17 @@ class TrainState(NamedTuple):
 
 def weight_decay_mask(params) -> Any:
     """True where AdamW weight decay applies (reference ``filter_params``
-    rule: ndim >= 2 and name not in nowd_keys). ``class_emb`` is 2-D and
-    absent from the reference nowd list, so it IS decayed; q/v biases and
-    all 1-D leaves are not."""
+    rule: >=2-D weights not in nowd_keys). In the VAR pytree the decayed
+    set is exactly {all Linear kernels, class_emb} — biases, positional
+    tables, ada_gss and scale_mul are not. Name-based so it is invariant to
+    the stacked-blocks layout (stacking adds a leading depth axis, which
+    would fool an ndim test on biases)."""
 
     def decide(path, leaf):
         names = [p.key for p in path if hasattr(p, "key")]
         if any(n in NOWD_NAMES for n in names):
             return False
-        return jnp.ndim(leaf) >= 2
+        return bool(names) and names[-1] in ("kernel", "class_emb")
 
     return jax.tree_util.tree_map_with_path(decide, params)
 

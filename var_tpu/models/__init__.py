@@ -33,12 +33,15 @@ def build_vae_var(
     init_std: float = -1.0,
     vae_ckpt: Optional[str] = None,
     var_ckpt: Optional[str] = None,
+    stack_blocks: bool = True,
 ):
     """Returns (vae_cfg, var_cfg, vae_params, var_params).
 
     With ``vae_ckpt``/``var_ckpt`` paths (.pth), loads the published torch
     weights instead of random init (reference train.py:93-98 wget+load flow
-    minus the download — zero-egress environment).
+    minus the download — zero-egress environment). ``stack_blocks`` stores
+    transformer blocks as stacked arrays so forward/decode scan over depth
+    (compile time O(1) in depth).
     """
     vae_cfg = VAEConfig(vocab_size=V, z_channels=Cvae, ch=ch,
                         share_quant_resi=share_quant_resi, v_patch_nums=patch_nums)
@@ -64,4 +67,6 @@ def build_vae_var(
             r2, var_cfg, init_std=init_std, init_head=init_head,
             init_adaln=init_adaln, init_adaln_gamma=init_adaln_gamma,
         )
+    if stack_blocks:
+        var_params = var.stack_block_params(var_params)
     return vae_cfg, var_cfg, vae_params, var_params

@@ -189,11 +189,16 @@ def attn_apply(
     cfg: VARConfig,
     x: jax.Array,
     bias: Optional[jax.Array],
-    cache: Optional[dict] = None,
+    cache_kv: Optional[Tuple[Optional[jax.Array], Optional[jax.Array]]] = None,
     impl: str = "xla",
-) -> Tuple[jax.Array, Optional[dict]]:
+) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     """Self-attention with fused QKV, zero k-bias, optional QK L2-norm and
-    KV-cache append (``basic_var.py:90-119``)."""
+    KV-cache append (``basic_var.py:90-119``).
+
+    ``cache_kv``: previous (k, v) each (B, Lprev, H, D) or (None, None) at
+    the first decode stage. Returns (out, (k_new, v_new)) — the *new* slices
+    only; the caller owns cache accumulation (so both the unrolled and the
+    lax.scan block paths share this function)."""
     b, l, c = x.shape
     h, d = cfg.num_heads, cfg.head_dim
     dtype = x.dtype
@@ -209,13 +214,15 @@ def attn_apply(
         k = _l2norm(k).astype(dtype)
     else:
         scale = 0.25 / math.sqrt(d)
-    if cache is not None:
-        if cache.get("k") is not None:
-            k = jnp.concatenate([cache["k"], k], axis=1)
-            v = jnp.concatenate([cache["v"], v], axis=1)
-        cache = {"k": k, "v": v}
-    out = attention(q, k, v, scale, bias=bias, impl=impl).reshape(b, l, c)
-    return _linear(ap["proj"], out), cache
+    new_kv = None
+    k_att, v_att = k, v
+    if cache_kv is not None:
+        new_kv = (k, v)
+        if cache_kv[0] is not None:
+            k_att = jnp.concatenate([cache_kv[0], k], axis=1)
+            v_att = jnp.concatenate([cache_kv[1], v], axis=1)
+    out = attention(q, k_att, v_att, scale, bias=bias, impl=impl).reshape(b, l, c)
+    return _linear(ap["proj"], out), new_kv
 
 
 def ffn_apply(fp: dict, x: jax.Array) -> jax.Array:
@@ -229,10 +236,10 @@ def block_apply(
     x: jax.Array,
     cond_ctx,
     bias: Optional[jax.Array],
-    cache: Optional[dict] = None,
+    cache_kv=None,
     impl: str = "xla",
     drop_path_mask: Optional[Tuple[jax.Array, jax.Array]] = None,
-) -> Tuple[jax.Array, Optional[dict]]:
+) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     """Pre-norm AdaLN block (``basic_var.py:152-158``):
     x += dp(attn(ln(x)*(s1+1)+sh1) * g1); x += dp(ffn(ln(x)*(s2+1)+sh2) * g2).
     """
@@ -240,7 +247,7 @@ def block_apply(
     p6 = _adaln6(blk, cfg, cond_ctx)
     g1, g2, s1, s2, sh1, sh2 = [p6[:, :, i] for i in range(6)]
     a_in = (_ln(x, cfg.norm_eps) * (s1 + 1.0) + sh1).astype(dtype)
-    a_out, cache = attn_apply(blk["attn"], cfg, a_in, bias, cache, impl)
+    a_out, new_kv = attn_apply(blk["attn"], cfg, a_in, bias, cache_kv, impl)
     a_out = a_out * g1.astype(dtype)
     if drop_path_mask is not None:
         a_out = a_out * drop_path_mask[0].astype(dtype)
@@ -250,7 +257,7 @@ def block_apply(
     if drop_path_mask is not None:
         f_out = f_out * drop_path_mask[1].astype(dtype)
     x = x + f_out
-    return x, cache
+    return x, new_kv
 
 
 def get_logits(params: dict, cfg: VARConfig, h: jax.Array, cond_bd: jax.Array) -> jax.Array:
@@ -319,21 +326,72 @@ def var_forward(
     bias = jnp.asarray(block_causal_bias(cfg)[:, :, :ed, :ed])
     ctx = cond_context(params, cfg, cond_bd)
     x = x.astype(dtype)
+    blocks = params["blocks"]
     dp_rates = np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
-    for i, blk in enumerate(params["blocks"]):
-        dp_mask = None
-        if train and dp_rates[i] > 0:
-            rng, r1, r2 = jax.random.split(rng, 3)
-            keep = 1.0 - dp_rates[i]
-            m1 = jax.random.bernoulli(r1, keep, (b, 1, 1)).astype(F32) / keep
-            m2 = jax.random.bernoulli(r2, keep, (b, 1, 1)).astype(F32) / keep
-            dp_mask = (m1, m2)
-        x, _ = block_apply(blk, cfg, x, ctx, bias, impl=attn_impl, drop_path_mask=dp_mask)
+    use_dp = train and cfg.drop_path_rate > 0
+    if isinstance(blocks, (list, tuple)):  # unrolled path
+        for i, blk in enumerate(blocks):
+            dp_mask = None
+            if use_dp and dp_rates[i] > 0:
+                rng, r1, r2 = jax.random.split(rng, 3)
+                keep = 1.0 - dp_rates[i]
+                m1 = jax.random.bernoulli(r1, keep, (b, 1, 1)).astype(F32) / keep
+                m2 = jax.random.bernoulli(r2, keep, (b, 1, 1)).astype(F32) / keep
+                dp_mask = (m1, m2)
+            x, _ = block_apply(blk, cfg, x, ctx, bias, impl=attn_impl,
+                               drop_path_mask=dp_mask)
+    else:  # stacked params -> lax.scan over depth (compile-time O(1) in depth)
+        if use_dp:
+            rng, r_dp = jax.random.split(rng)
+            keep = jnp.asarray(1.0 - dp_rates, F32).reshape(cfg.depth, 1, 1, 1, 1)
+            u = jax.random.uniform(r_dp, (cfg.depth, 2, b, 1, 1))
+            dp_masks = (u < keep).astype(F32) / keep  # (depth, 2, B, 1, 1)
+
+            def body(xc, xs):
+                blk, dpm = xs
+                xc, _ = block_apply(blk, cfg, xc, ctx, bias, impl=attn_impl,
+                                    drop_path_mask=(dpm[0], dpm[1]))
+                return xc, None
+
+            x, _ = jax.lax.scan(body, x, (blocks, dp_masks))
+        else:
+
+            def body(xc, blk):
+                xc, _ = block_apply(blk, cfg, xc, ctx, bias, impl=attn_impl)
+                return xc, None
+
+            x, _ = jax.lax.scan(body, x, blocks)
     return get_logits(params, cfg, x, cond_bd)
 
 
 # ---------------------------------------------------------------------------
-# KV-cached stage step (inference)
+# stacked blocks + KV-cached stage step (inference)
+
+
+def stack_block_params(params: dict) -> dict:
+    """Convert ``blocks`` from a per-layer list to stacked arrays (leading
+    ``depth`` axis) so forward/decode can lax.scan over layers: compile time
+    and HLO size become O(1) in depth instead of O(depth)."""
+    if not isinstance(params["blocks"], (list, tuple)):
+        return params
+    out = dict(params)
+    out["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *params["blocks"])
+    return out
+
+
+def unstack_block_params(params: dict, depth: int) -> dict:
+    if isinstance(params["blocks"], (list, tuple)):
+        return params
+    out = dict(params)
+    out["blocks"] = [jax.tree.map(lambda x: x[i], params["blocks"]) for i in range(depth)]
+    return out
+
+
+def init_caches(cfg: VARConfig, batch: int, dtype=jnp.bfloat16) -> Tuple[jax.Array, jax.Array]:
+    """Empty stacked KV caches: (depth, B, 0, H, Dh) x2 — stage steps append
+    along the length axis; shapes stay static per decode stage."""
+    shape = (cfg.depth, batch, 0, cfg.num_heads, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
 def transformer_stage(
@@ -341,18 +399,35 @@ def transformer_stage(
     cfg: VARConfig,
     x: jax.Array,
     cond_ctx,
-    caches: Optional[List[Optional[dict]]],
+    caches: Optional[Tuple[jax.Array, jax.Array]],
     dtype=jnp.bfloat16,
     attn_impl: str = "xla",
-) -> Tuple[jax.Array, List[dict]]:
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Run all blocks over one scale's token map with KV caching
-    (``var.py:166-169``). ``caches`` is a per-block list; pass None to start.
-    Returns hidden states (not logits) and updated caches."""
-    if caches is None:
-        caches = [{"k": None, "v": None} for _ in params["blocks"]]
+    (``var.py:166-169``). ``caches`` = stacked (K, V) of shape
+    (depth, B, Lprev, H, Dh); pass None to start. Returns hidden states (not
+    logits) and the grown caches."""
     x = x.astype(dtype)
-    new_caches = []
-    for blk, cache in zip(params["blocks"], caches):
-        x, cache = block_apply(blk, cfg, x, cond_ctx, bias=None, cache=cache, impl=attn_impl)
-        new_caches.append(cache)
-    return x, new_caches
+    if caches is None:
+        caches = init_caches(cfg, x.shape[0], dtype)
+    ck, cv = caches
+    blocks = params["blocks"]
+    if isinstance(blocks, (list, tuple)):  # unrolled path
+        new_k, new_v = [], []
+        for i, blk in enumerate(blocks):
+            x, kv = block_apply(blk, cfg, x, cond_ctx, bias=None,
+                                cache_kv=(ck[i], cv[i]), impl=attn_impl)
+            new_k.append(kv[0])
+            new_v.append(kv[1])
+        knew = jnp.stack(new_k)
+        vnew = jnp.stack(new_v)
+    else:  # scan path
+
+        def body(xc, xs):
+            blk, cki, cvi = xs
+            xc, kv = block_apply(blk, cfg, xc, cond_ctx, bias=None,
+                                 cache_kv=(cki, cvi), impl=attn_impl)
+            return xc, kv
+
+        x, (knew, vnew) = jax.lax.scan(body, x, (blocks, ck, cv))
+    return x, (jnp.concatenate([ck, knew], axis=2), jnp.concatenate([cv, vnew], axis=2))
