@@ -74,8 +74,9 @@ def main():
     # and the quantizer is fp32-forced (reference quant.py:53-61)
     dtype = jnp.float32 if smoke else jnp.bfloat16
 
+    attn_impl = "pallas" if "--attn-pallas" in sys.argv else "xla"
     sampler = make_sampler(var_cfg, vae_cfg, cfg_scale=1.5, top_k=900 if not smoke else 8,
-                           top_p=0.96, dtype=dtype)
+                           top_p=0.96, dtype=dtype, attn_impl=attn_impl)
     labels = jnp.arange(batch, dtype=jnp.int32) % var_cfg.num_classes
 
     # compile + warmup

@@ -1,0 +1,105 @@
+"""Pallas flash attention vs the XLA reference path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from var_tpu.config import VARConfig
+from var_tpu.models import var as var_mod
+from var_tpu.ops.attention import attention
+from var_tpu.ops.pallas.flash_attention import flash_attention
+
+PNS = (1, 2, 3, 4)
+
+
+def _qkv(b=2, lq=30, lk=30, h=2, d=16, seed=0):
+    r = jax.random.PRNGKey(seed)
+    rq, rk, rv = jax.random.split(r, 3)
+    return (jax.random.normal(rq, (b, lq, h, d)),
+            jax.random.normal(rk, (b, lk, h, d)),
+            jax.random.normal(rv, (b, lk, h, d)))
+
+
+def test_dense_matches_xla():
+    q, k, v = _qkv()
+    want = attention(q, k, v, scale=0.25, impl="xla")
+    got = flash_attention(q, k, v, scale=0.25)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_block_causal_matches_xla_bias():
+    cfg = VARConfig(patch_nums=PNS, depth=2, embed_dim=32, num_heads=2,
+                    vocab_size=16, z_channels=8)
+    L = cfg.seq_len
+    lvl = jnp.asarray(var_mod.level_ids(cfg))
+    bias = jnp.asarray(var_mod.block_causal_bias(cfg))
+    q, k, v = _qkv(lq=L, lk=L)
+    want = attention(q, k, v, scale=0.3, bias=bias, impl="xla")
+    got = flash_attention(q, k, v, scale=0.3, level_ids_q=lvl, level_ids_k=lvl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_block_sizes_smaller_than_seq():
+    cfg = VARConfig(patch_nums=(1, 2, 3, 4, 5, 6), depth=2, embed_dim=32,
+                    num_heads=2, vocab_size=16, z_channels=8)
+    L = cfg.seq_len  # 91 -> multiple KV blocks with block 32
+    lvl = jnp.asarray(var_mod.level_ids(cfg))
+    bias = jnp.asarray(var_mod.block_causal_bias(cfg))
+    q, k, v = _qkv(lq=L, lk=L, seed=3)
+    want = attention(q, k, v, scale=0.25, bias=bias, impl="xla")
+    got = flash_attention(q, k, v, scale=0.25, level_ids_q=lvl, level_ids_k=lvl,
+                          block_q=32, block_k=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_gradients_match_xla():
+    cfg = VARConfig(patch_nums=PNS, depth=2, embed_dim=32, num_heads=2,
+                    vocab_size=16, z_channels=8)
+    L = cfg.seq_len
+    lvl = jnp.asarray(var_mod.level_ids(cfg))
+    bias = jnp.asarray(var_mod.block_causal_bias(cfg))
+    q, k, v = _qkv(lq=L, lk=L, seed=5)
+
+    def loss_xla(q, k, v):
+        o = attention(q, k, v, scale=0.25, bias=bias, impl="xla")
+        return jnp.sum(jnp.sin(o))
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, scale=0.25, level_ids_q=lvl, level_ids_k=lvl)
+        return jnp.sum(jnp.sin(o))
+
+    ga = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    gb = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-5)
+
+
+def test_var_forward_pallas_matches_xla():
+    cfg = VARConfig(num_classes=6, depth=2, embed_dim=32, num_heads=2,
+                    patch_nums=PNS, vocab_size=16, z_channels=8,
+                    attn_l2_norm=True, cond_drop_rate=0.0)
+    params = var_mod.init_var_params(jax.random.PRNGKey(0), cfg)
+    label = jnp.array([1, 3])
+    x_in = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.seq_len - 1, 8))
+    a = var_mod.var_forward(params, cfg, label, x_in, dtype=jnp.float32, attn_impl="xla")
+    b = var_mod.var_forward(params, cfg, label, x_in, dtype=jnp.float32, attn_impl="pallas")
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4)
+
+
+def test_decode_stage_pallas_matches_xla():
+    """Dense (no-mask) kernel over a growing KV cache — the decode case."""
+    cfg = VARConfig(num_classes=6, depth=2, embed_dim=32, num_heads=2,
+                    patch_nums=PNS, vocab_size=16, z_channels=8, cond_drop_rate=0.0)
+    params = var_mod.init_var_params(jax.random.PRNGKey(0), cfg)
+    cond = jnp.take(params["class_emb"], jnp.array([0, 6]), axis=0)
+    ctx = var_mod.cond_context(params, cfg, cond)
+    xs = [jax.random.normal(jax.random.PRNGKey(i), (2, pn * pn, cfg.embed_dim))
+          for i, pn in enumerate(PNS)]
+    ca = cb = None
+    for x in xs:
+        xa, ca = var_mod.transformer_stage(params, cfg, x, ctx, ca,
+                                           dtype=jnp.float32, attn_impl="xla")
+        xb, cb = var_mod.transformer_stage(params, cfg, x, ctx, cb,
+                                           dtype=jnp.float32, attn_impl="pallas")
+        np.testing.assert_allclose(np.asarray(xb), np.asarray(xa), rtol=1e-4, atol=1e-4)

@@ -116,10 +116,20 @@ def main():
             same_seed_for_all_ranks=args.seed or 0,
         )
         iters_train = len(sampler)
+        from var_tpu.data.native_loader import available as native_available
+        from var_tpu.data.native_loader import make_native_batch_transform
+
+        batch_tf = None
+        if native_available():
+            batch_tf = make_native_batch_transform(
+                args.data_load_reso, args.mid_reso, train=True, hflip=args.hflip,
+                num_threads=args.workers or 16)
+            log("using native C++ image pipeline")
         train_iter = iter(DataLoader(
             train_ds, iter(sampler), make_transform(args.data_load_reso, args.mid_reso,
                                                     train=True, hflip=args.hflip),
             num_threads=args.workers or 16, seed=args.seed or 0,
+            batch_transform=batch_tf,
         ))
 
         def val_iter():

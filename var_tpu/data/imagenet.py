@@ -159,10 +159,17 @@ class DistInfiniteBatchSampler:
         return local
 
     def __iter__(self) -> Iterator[List[int]]:
+        # NOTE: the reference carries a start_it skip inside the sampler that
+        # can never trigger (data_sampler.py:52-55 compares epoch after
+        # incrementing) and instead skips batches in the train loop
+        # (train.py:274). We implement the intended semantics here: the first
+        # iterated epoch resumes at start_it.
         self.epoch = self.start_ep
+        first = True
         while True:
             self.epoch += 1
-            p = self.start_it * self.batch_size if self.epoch == self.start_ep else 0
+            p = self.start_it * self.batch_size if first else 0
+            first = False
             while p < self.max_p:
                 yield self.indices[p: p + self.batch_size]
                 p += self.batch_size
@@ -185,10 +192,12 @@ class DataLoader:
     """
 
     def __init__(self, dataset: FolderDataset, batch_iter, transform: Callable,
-                 num_threads: int = 8, prefetch: int = 4, seed: int = 0):
+                 num_threads: int = 8, prefetch: int = 4, seed: int = 0,
+                 batch_transform: Optional[Callable] = None):
         self.ds = dataset
         self.batch_iter = batch_iter
         self.tf = transform
+        self.batch_tf = batch_transform  # native C++ whole-batch fast path
         self.num_threads = max(1, num_threads)
         self.prefetch = prefetch
         self.seed = seed
@@ -200,6 +209,16 @@ class DataLoader:
         def producer():
             from concurrent.futures import ThreadPoolExecutor
 
+            if self.batch_tf is not None:  # native C++ path: one call per batch
+                rng = np.random.default_rng(self.seed)
+                for idxs in self.batch_iter:
+                    if stop.is_set():
+                        return
+                    paths = [self.ds.samples[i][0] for i in idxs]
+                    labels = np.asarray([self.ds.samples[i][1] for i in idxs], np.int32)
+                    q.put((self.batch_tf(paths, rng), labels))
+                q.put(None)
+                return
             rngs = [np.random.default_rng(self.seed + i) for i in range(self.num_threads)]
             with ThreadPoolExecutor(self.num_threads) as pool:
                 for bi, idxs in enumerate(self.batch_iter):
