@@ -47,6 +47,10 @@ def main():
     ndev = mesh.shape[pm.DATA_AXIS]
     args = parse_cli().finalize(world_size=ndev)
     os.makedirs(args.local_out_dir_path, exist_ok=True)
+    if not args.local_debug:
+        from var_tpu.utils.logging import tee_output
+
+        tee_output(args.local_out_dir_path)
     log(f"devices={ndev} ({jax.devices()[0].platform}), args bs={args.bs} "
         f"batch/dev={args.batch_size} tlr={args.tlr:g} pn={args.patch_nums}")
 

@@ -197,6 +197,66 @@ def _torch_features(img_pm1: np.ndarray, feat: str) -> jax.Array:
         return jnp.asarray(m(x).numpy()).reshape(-1)
 
 
+def main(argv=None):
+    """CLI driver (reference ``eval_prob.py`` main, :235-609)."""
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--depth", type=int, default=16)
+    p.add_argument("--vae_ckpt", default="vae_ch160v4096z32.pth")
+    p.add_argument("--var_ckpt", default="")
+    p.add_argument("--pn", default="1_2_3_4_5_6_8_10_13_16")
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--out_dir", default="clf_out")
+    p.add_argument("--mode", default="bayesian",
+                   choices=["bayesian", "smooth_bayesian", "fast_neighbor_bayesian",
+                            "neighbor_bayesian", "gen"])
+    p.add_argument("--num_classes", type=int, default=10)
+    p.add_argument("--Clayer", type=int, default=0)
+    p.add_argument("--threshold", type=float, default=2.0)
+    p.add_argument("--smooth_k", type=int, default=50)
+    p.add_argument("--cfg", type=float, default=1.5)
+    p.add_argument("--feat", default="vae_fhat",
+                   choices=["vae_fhat", "vae_post", "resnet50", "clip", "dinov2"])
+    p.add_argument("--batch_size", type=int, default=10)
+    p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--imagenet_a_json", default="",
+                   help="imagenet_class_index.json for ImageNet-A folders")
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from var_tpu.config import parse_patch_nums
+    from var_tpu.data.imagenet import FolderDataset, build_imagenet_a_class_map, make_transform
+    from var_tpu.models import build_vae_var
+
+    pns = parse_patch_nums(args.pn)
+    vae_cfg, var_cfg, vae_params, var_params = build_vae_var(
+        patch_nums=pns, depth=args.depth, num_classes=max(args.num_classes, 1000)
+        if args.var_ckpt else args.num_classes,
+        vae_ckpt=args.vae_ckpt if os.path.exists(args.vae_ckpt) else None,
+        var_ckpt=args.var_ckpt if os.path.exists(args.var_ckpt) else None,
+    )
+    cls_map = None
+    if args.imagenet_a_json:
+        cls_map = build_imagenet_a_class_map(args.imagenet_a_json, args.data_path)
+    ds = FolderDataset(args.data_path, class_to_idx=cls_map)
+    reso = pns[-1] * vae_cfg.downsample
+    tf = make_transform(reso, train=False)
+    rng = np.random.default_rng(0)
+
+    clf = VARClassifier(var_params, vae_params, var_cfg, vae_cfg, mode=args.mode,
+                        Clayer=args.Clayer, threshold=args.threshold,
+                        smooth_k=args.smooth_k, cfg_scale=args.cfg, feat=args.feat)
+
+    def images():
+        for path, label in ds.samples:
+            yield tf(path, rng), label
+
+    run_eval(clf, images(), args.out_dir, num_classes=args.num_classes,
+             limit=args.limit or None, batch_size=args.batch_size)
+
+
 def run_eval(classifier: VARClassifier, dataset, out_dir: str, num_classes: int = 10,
              limit: Optional[int] = None, batch_size: int = 10) -> float:
     """Folder evaluation loop with per-image JSON cache (eval_prob.py:400-612)."""

@@ -74,6 +74,12 @@ def build_imagenet_a_class_map(class_index_json: str, root: str) -> dict:
     return {w: wnid_to_idx[w] for w in present if w in wnid_to_idx}
 
 
+def build_imagenet_a_dataset(root: str, class_index_json: str) -> "FolderDataset":
+    """ImageNet-A folder with labels remapped to original 1k-class indices
+    (fork's ``build_imagenet_a_dataset``, data.py:105-116)."""
+    return FolderDataset(root, class_to_idx=build_imagenet_a_class_map(class_index_json, root))
+
+
 # ---------------------------------------------------------------------------
 # transforms (PIL + numpy; LANCZOS like data.py:21)
 

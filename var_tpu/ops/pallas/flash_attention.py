@@ -272,6 +272,15 @@ def flash_attention(
     assert bias is None, "pallas path takes level_ids, not a dense bias"
     b, lq, h, d = q.shape
     lk = k.shape[1]
+    if lq < 8 or lk < 8:
+        # tiny decode stages (1-4 query tokens): below the TPU tile minimum
+        # and faster as a plain fused dot-general anyway
+        logits = jnp.einsum("blhd,bmhd->bhlm", q, k).astype(F32) * scale
+        if level_ids_q is not None:
+            ok = level_ids_k[None, :] <= level_ids_q[:, None]
+            logits = jnp.where(ok[None, None], logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        return jnp.einsum("bhlm,bmhd->blhd", probs, v)
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     masked = level_ids_q is not None

@@ -46,6 +46,34 @@ def log(*args, force: bool = False):
     print(f"[{ts}] ({src:>20s}) =>", *args, flush=True)
 
 
+def tee_output(out_dir: str) -> None:
+    """Tee stdout/stderr to ``{out_dir}/stdout.txt`` / ``stderr.txt``
+    (reference ``SyncPrint``, misc.py:78-112) — line-buffered, append mode
+    so restarted runs keep one continuous log."""
+    import sys
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    class _Tee:
+        def __init__(self, stream, path):
+            self.stream = stream
+            self.f = open(path, "a", buffering=1)
+
+        def write(self, s):
+            self.stream.write(s)
+            self.f.write(s)
+
+        def flush(self):
+            self.stream.flush()
+            self.f.flush()
+
+        def isatty(self):
+            return False
+
+    sys.stdout = _Tee(sys.stdout, os.path.join(out_dir, "stdout.txt"))
+    sys.stderr = _Tee(sys.stderr, os.path.join(out_dir, "stderr.txt"))
+
+
 class SmoothedValue:
     """Windowed median/avg meter (reference ``misc.py:183-249``)."""
 
