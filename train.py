@@ -51,6 +51,9 @@ def main():
         from var_tpu.utils.logging import tee_output
 
         tee_output(args.local_out_dir_path)
+    if args.dbg_nan:  # the reference's detect-anomaly analogue (train.py:173-174)
+        jax.config.update("jax_debug_nans", True)
+        jax.config.update("jax_debug_infs", True)
     log(f"devices={ndev} ({jax.devices()[0].platform}), args bs={args.bs} "
         f"batch/dev={args.batch_size} tlr={args.tlr:g} pn={args.patch_nums}")
 
@@ -175,6 +178,9 @@ def main():
         mesh, jax.sharding.PartitionSpec(None, pm.DATA_AXIS))
 
     tb = TensorboardLogger(args.tb_log_dir_path)
+    from var_tpu.utils.logging import ProfilerHooks
+
+    profiler = ProfilerHooks()  # active only with VAR_TPU_PROFILE_DIR set
     max_it = args.ep * iters_train
     wp_it = args.wp * iters_train
 
@@ -220,6 +226,7 @@ def main():
             if first_prog:
                 prog_wp = 1.0
 
+            profiler.maybe_toggle(opt_it)
             rng, r_step = jax.random.split(rng)
             state, m = step_for(prog_si)(
                 state, vae_params, imgs, labels, r_step,

@@ -171,6 +171,65 @@ def plot_accuracy_curves(agg: dict, patch_nums: Sequence[int], out_path: str):
     plt.close(fig)
 
 
+def create_heatmaps_for_classes(token_scores: np.ndarray, patch_nums: Sequence[int],
+                                input_img: np.ndarray, alpha: float = 0.5) -> List[np.ndarray]:
+    """Per-class spatial heat maps of per-token scores overlaid on the image
+    (reference ``inpainting.py:103-177`` / eval_prob plotting): for each class
+    row (C, L), split the flat scores by scale, upsample each (pn, pn) map to
+    the image size, average across scales, normalize, and alpha-blend."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.cm as cm
+
+    c, l = token_scores.shape
+    h, w = input_img.shape[:2]
+    base = (input_img - input_img.min()) / max(np.ptp(input_img), 1e-6)
+    overlays = []
+    for ci in range(c):
+        acc = np.zeros((h, w), np.float64)
+        cur = 0
+        for pn in patch_nums:
+            seg = token_scores[ci, cur:cur + pn * pn].reshape(pn, pn)
+            acc += np.kron(seg, np.ones((h // pn + 1, w // pn + 1)))[:h, :w]
+            cur += pn * pn
+        acc /= len(patch_nums)
+        acc = (acc - acc.min()) / max(np.ptp(acc), 1e-6)
+        heat = cm.get_cmap("jet")(acc)[..., :3]
+        overlays.append((1 - alpha) * base + alpha * heat)
+    return overlays
+
+
+def plot_per_scale_kde(records: List[dict], model_names: Sequence[str],
+                       patch_nums: Sequence[int], out_path: str):
+    """KDE of per-scale log-likelihoods of the TRUE class, per model
+    (reference var_analysis.py:655-760 style distribution plots)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from scipy.stats import gaussian_kde
+
+    s = len(patch_nums)
+    fig, axs = plt.subplots(1, s, figsize=(3 * s, 3), squeeze=False)
+    for name in model_names:
+        per = np.asarray([np.asarray(r[name]["per_scale"])[r["label"]] for r in records])
+        for si in range(s):
+            vals = per[:, si]
+            ax = axs[0][si]
+            if len(vals) > 2 and np.std(vals) > 1e-9:
+                xs = np.linspace(vals.min(), vals.max(), 100)
+                ax.plot(xs, gaussian_kde(vals)(xs), label=name)
+            ax.set_title(f"{patch_nums[si]}x{patch_nums[si]}")
+    axs[0][0].set_ylabel("true-class LL density")
+    axs[0][-1].legend()
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
+
 def plot_prob_vs_distance(logp_np: np.ndarray, gt_np: np.ndarray,
                           embedding_np: np.ndarray, out_path: str):
     """Token probability vs codebook distance scatter with savgol smoothing
@@ -276,6 +335,8 @@ def main(argv=None):
     print(json.dumps(agg, indent=2))
     if args.plot:
         plot_accuracy_curves(agg, pns, os.path.join(args.out_dir, "accuracy.png"))
+        plot_per_scale_kde(records, list(models.keys()), pns,
+                           os.path.join(args.out_dir, "kde.png"))
 
 
 if __name__ == "__main__":

@@ -161,6 +161,10 @@ def make_train_step(
     stage-by-stage behaviour (``trainer.py:91-99``).
     """
     opt_init, opt_update = make_adamw(args.tclip)
+    # fp16=1 in the reference enables a GradScaler whose real protective
+    # behaviour is skipping steps with non-finite grads (amp_sc.py:56-66).
+    # bf16 on TPU needs no loss scaling, so we keep only the skip guard.
+    skip_nonfinite = args.fp16 == 1
     max_it = float(args.ep * iters_per_ep)
     wp_it = float(args.wp * iters_per_ep)
     L = var_cfg.seq_len
@@ -202,6 +206,12 @@ def make_train_step(
         lr = args.tlr * lr_factor(args.sche, g_it, wp_it, max_it, args.wp0, args.wpe)
         wd = wd_value(g_it, max_it, args.twd, args.twde)
         new_params, new_opt, gnorm = opt_update(grads, state.opt_state, state.params, lr, wd)
+        if skip_nonfinite:
+            finite = jnp.isfinite(gnorm)
+            new_params = jax.tree.map(
+                lambda new, old: jnp.where(finite, new, old), new_params, state.params)
+            new_opt = jax.tree.map(
+                lambda new, old: jnp.where(finite, new, old), new_opt, state.opt_state)
         m = _metrics_from_logits(logits[-1], gt_bl[-1], var_cfg, prog_si)
         metrics = StepMetrics(loss=loss, grad_norm=gnorm, lr=lr, wd=wd, **m)
         return TrainState(new_params, new_opt, state.step + 1), metrics

@@ -55,7 +55,7 @@ def _fwd_kernel(lvlq_ref, lvlk_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     l = jnp.zeros((bq, 1), F32)
     acc = jnp.zeros((bq, d), F32)
     if masked:
-        lvl_q = lvlq_ref[0]  # (Bq,)
+        lvl_q = lvlq_ref[0, :, 0]  # (Bq,)
 
     for kb in range(nk):  # static unroll over KV blocks
         k_blk = k_ref[0, kb * block_k:(kb + 1) * block_k].astype(F32)  # (Bk, D)
@@ -64,7 +64,7 @@ def _fwd_kernel(lvlq_ref, lvlk_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=F32
         )  # (Bq, Bk)
         if masked:
-            lvl_k = lvlk_ref[0, kb * block_k:(kb + 1) * block_k]  # (Bk,)
+            lvl_k = lvlk_ref[0, kb * block_k:(kb + 1) * block_k, 0]  # (Bk,)
             ok = lvl_k[None, :] <= lvl_q[:, None]
             s = jnp.where(ok, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -91,8 +91,8 @@ def _fwd(q3, k3, v3, lvl_q, lvl_k, block_q, block_k, masked, interpret):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, 1), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -106,7 +106,7 @@ def _fwd(q3, k3, v3, lvl_q, lvl_k, block_q, block_k, masked, interpret):
             jax.ShapeDtypeStruct((bh, lq, 1), F32),
         ],
         interpret=interpret,
-    )(lvl_q[None], lvl_k[None], q3, k3, v3)
+    )(lvl_q[None, :, None], lvl_k[None, :, None], q3, k3, v3)
     return out, lse
 
 
@@ -123,14 +123,14 @@ def _bwd_dq_kernel(lvlq_ref, lvlk_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     bq, d = q.shape
     dq = jnp.zeros((bq, d), F32)
     if masked:
-        lvl_q = lvlq_ref[0]
+        lvl_q = lvlq_ref[0, :, 0]
     for kb in range(pl.cdiv(lk, block_k)):
         k_blk = k_ref[0, kb * block_k:(kb + 1) * block_k].astype(F32)
         v_blk = v_ref[0, kb * block_k:(kb + 1) * block_k].astype(F32)
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=F32)
         if masked:
-            lvl_k = lvlk_ref[0, kb * block_k:(kb + 1) * block_k]
+            lvl_k = lvlk_ref[0, kb * block_k:(kb + 1) * block_k, 0]
             s = jnp.where(lvl_k[None, :] <= lvl_q[:, None], s, NEG_INF)
         p = jnp.exp(s - lse)  # (Bq, Bk)
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
@@ -149,7 +149,7 @@ def _bwd_dkv_kernel(lvlq_ref, lvlk_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     dk = jnp.zeros((bk, d), F32)
     dv = jnp.zeros((bk, d), F32)
     if masked:
-        lvl_k = lvlk_ref[0]
+        lvl_k = lvlk_ref[0, :, 0]
     for qb in range(pl.cdiv(lq, block_q)):
         q = q_ref_block = q_ref[0, qb * block_q:(qb + 1) * block_q].astype(F32)
         do = do_ref[0, qb * block_q:(qb + 1) * block_q].astype(F32)
@@ -158,7 +158,7 @@ def _bwd_dkv_kernel(lvlq_ref, lvlk_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=F32)
         if masked:
-            lvl_q = lvlq_ref[0, qb * block_q:(qb + 1) * block_q]
+            lvl_q = lvlq_ref[0, qb * block_q:(qb + 1) * block_q, 0]
             s = jnp.where(lvl_k[None, :] <= lvl_q[:, None], s, NEG_INF)
         p = jnp.exp(s - lse)  # (Bq, Bk)
         dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
@@ -181,8 +181,8 @@ def _bwd(q3, k3, v3, lvl_q, lvl_k, out, lse, do, block_q, block_k, masked, inter
         functools.partial(_bwd_dq_kernel, block_k=block_k, lk=lk, masked=masked),
         grid=(bh, pl.cdiv(lq, block_q)),
         in_specs=[
-            pl.BlockSpec((1, block_q), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, 1), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -194,14 +194,14 @@ def _bwd(q3, k3, v3, lvl_q, lvl_k, out, lse, do, block_q, block_k, masked, inter
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, lq, d), q3.dtype),
         interpret=interpret,
-    )(lvl_q[None], lvl_k[None], q3, k3, v3, do, lse, delta)
+    )(lvl_q[None, :, None], lvl_k[None, :, None], q3, k3, v3, do, lse, delta)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, block_q=block_q, lq=lq, masked=masked),
         grid=(bh, pl.cdiv(lk, block_k)),
         in_specs=[
-            pl.BlockSpec((1, lq), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq, 1), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, 1), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lq, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -218,7 +218,7 @@ def _bwd(q3, k3, v3, lvl_q, lvl_k, out, lse, do, block_q, block_k, masked, inter
             jax.ShapeDtypeStruct((bh, lk, d), v3.dtype),
         ],
         interpret=interpret,
-    )(lvl_q[None], lvl_k[None], q3, k3, v3, do, lse, delta)
+    )(lvl_q[None, :, None], lvl_k[None, :, None], q3, k3, v3, do, lse, delta)
     return dq, dk, dv
 
 
