@@ -95,8 +95,8 @@ def decode_cfg(
         x, caches = var_mod.transformer_stage(
             var_params, var_cfg, ntm, ctx, caches, dtype=dtype, attn_impl=attn_impl
         )
-        logits = var_mod.get_logits(var_params, var_cfg, x, cond_bd)  # (2B, seg, V)
-        lg = _cfg_logits(logits, b, cfg_scale * ratio)
+        # CFG-mixed logits with the head matmul on B rows (get_logits_cfg)
+        lg = var_mod.get_logits_cfg(var_params, var_cfg, x, cond_bd, cfg_scale * ratio)
         rng, r_samp, r_gum = jax.random.split(rng, 3)
         idx = sample_with_top_k_top_p(r_samp, lg, top_k=top_k, top_p=top_p)
         if gt_tokens is not None and keep_mask is not None:
@@ -244,8 +244,7 @@ def smooth_sampling(
         x, caches = var_mod.transformer_stage(
             var_params, var_cfg, ntm, ctx, caches, dtype=dtype, attn_impl=attn_impl
         )
-        logits = var_mod.get_logits(var_params, var_cfg, x, cond_bd)
-        lg = _cfg_logits(logits, b, cfg_scale * ratio)
+        lg = var_mod.get_logits_cfg(var_params, var_cfg, x, cond_bd, cfg_scale * ratio)
         log_probs = jax.nn.log_softmax(lg, axis=-1)  # (B, seg, V)
 
         gt_seg = gt_tokens[:, cur : cur + seg]  # (B, seg)

@@ -264,12 +264,29 @@ def block_apply(
 
 def get_logits(params: dict, cfg: VARConfig, h: jax.Array, cond_bd: jax.Array) -> jax.Array:
     """AdaLN-before-head + classifier head, all fp32 (``var.py:118-124``)."""
+    return _linear(params["head"], _head_nm(params, cfg, h, cond_bd))
+
+
+def _head_nm(params: dict, cfg: VARConfig, h: jax.Array, cond_bd: jax.Array) -> jax.Array:
     hf = h.astype(F32)
     ada = _linear(params["head_nm"]["ada_lin"], jax.nn.silu(cond_bd.astype(F32)))
     ada = ada.reshape(-1, 1, 2, cfg.embed_dim)
     scale, shift = ada[:, :, 0], ada[:, :, 1]
-    hf = _ln(hf, cfg.norm_eps) * (scale + 1.0) + shift
-    return _linear(params["head"], hf)
+    return _ln(hf, cfg.norm_eps) * (scale + 1.0) + shift
+
+
+def get_logits_cfg(params: dict, cfg: VARConfig, h_2b: jax.Array,
+                   cond_bd_2b: jax.Array, t) -> jax.Array:
+    """CFG-mixed logits for a (cond | uncond) doubled batch.
+
+    Exactly equal to ``(1+t)*get_logits(h_c) - t*get_logits(h_u)``
+    (``var.py:172-173``) but mixes *before* the classifier head: the head is
+    linear and its bias survives since (1+t) - t = 1, so the expensive fp32
+    (C x V) matmul runs on B rows instead of 2B."""
+    b = h_2b.shape[0] // 2
+    nm = _head_nm(params, cfg, h_2b, cond_bd_2b)
+    mixed = (1.0 + t) * nm[:b] - t * nm[b:]
+    return _linear(params["head"], mixed)
 
 
 def cond_context(params: dict, cfg: VARConfig, cond_bd: jax.Array):
