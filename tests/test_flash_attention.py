@@ -32,11 +32,11 @@ def test_block_causal_matches_xla_bias():
     cfg = VARConfig(patch_nums=PNS, depth=2, embed_dim=32, num_heads=2,
                     vocab_size=16, z_channels=8)
     L = cfg.seq_len
-    lvl = jnp.asarray(var_mod.level_ids(cfg))
+    ends = tuple(e for _, e in cfg.begin_ends)
     bias = jnp.asarray(var_mod.block_causal_bias(cfg))
     q, k, v = _qkv(lq=L, lk=L)
     want = attention(q, k, v, scale=0.3, bias=bias, impl="xla")
-    got = flash_attention(q, k, v, scale=0.3, level_ids_q=lvl, level_ids_k=lvl)
+    got = flash_attention(q, k, v, scale=0.3, scale_ends=ends)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
 
 
@@ -44,11 +44,11 @@ def test_block_sizes_smaller_than_seq():
     cfg = VARConfig(patch_nums=(1, 2, 3, 4, 5, 6), depth=2, embed_dim=32,
                     num_heads=2, vocab_size=16, z_channels=8)
     L = cfg.seq_len  # 91 -> multiple KV blocks with block 32
-    lvl = jnp.asarray(var_mod.level_ids(cfg))
+    ends = tuple(e for _, e in cfg.begin_ends)
     bias = jnp.asarray(var_mod.block_causal_bias(cfg))
     q, k, v = _qkv(lq=L, lk=L, seed=3)
     want = attention(q, k, v, scale=0.25, bias=bias, impl="xla")
-    got = flash_attention(q, k, v, scale=0.25, level_ids_q=lvl, level_ids_k=lvl,
+    got = flash_attention(q, k, v, scale=0.25, scale_ends=ends,
                           block_q=32, block_k=32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
 
@@ -57,7 +57,7 @@ def test_gradients_match_xla():
     cfg = VARConfig(patch_nums=PNS, depth=2, embed_dim=32, num_heads=2,
                     vocab_size=16, z_channels=8)
     L = cfg.seq_len
-    lvl = jnp.asarray(var_mod.level_ids(cfg))
+    ends = tuple(e for _, e in cfg.begin_ends)
     bias = jnp.asarray(var_mod.block_causal_bias(cfg))
     q, k, v = _qkv(lq=L, lk=L, seed=5)
 
@@ -66,7 +66,7 @@ def test_gradients_match_xla():
         return jnp.sum(jnp.sin(o))
 
     def loss_flash(q, k, v):
-        o = flash_attention(q, k, v, scale=0.25, level_ids_q=lvl, level_ids_k=lvl)
+        o = flash_attention(q, k, v, scale=0.25, scale_ends=ends)
         return jnp.sum(jnp.sin(o))
 
     ga = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)

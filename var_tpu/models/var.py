@@ -191,7 +191,7 @@ def attn_apply(
     bias: Optional[jax.Array],
     cache_kv: Optional[Tuple[Optional[jax.Array], Optional[jax.Array]]] = None,
     impl: str = "xla",
-    levels: Optional[Tuple[jax.Array, jax.Array]] = None,
+    scale_ends: Optional[Tuple[int, ...]] = None,
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     """Self-attention with fused QKV, zero k-bias, optional QK L2-norm and
     KV-cache append (``basic_var.py:90-119``).
@@ -222,7 +222,7 @@ def attn_apply(
         if cache_kv[0] is not None:
             k_att = jnp.concatenate([cache_kv[0], k], axis=1)
             v_att = jnp.concatenate([cache_kv[1], v], axis=1)
-    out = attention(q, k_att, v_att, scale, bias=bias, impl=impl, levels=levels).reshape(b, l, c)
+    out = attention(q, k_att, v_att, scale, bias=bias, impl=impl, scale_ends=scale_ends).reshape(b, l, c)
     return _linear(ap["proj"], out), new_kv
 
 
@@ -240,7 +240,7 @@ def block_apply(
     cache_kv=None,
     impl: str = "xla",
     drop_path_mask: Optional[Tuple[jax.Array, jax.Array]] = None,
-    levels: Optional[Tuple[jax.Array, jax.Array]] = None,
+    scale_ends: Optional[Tuple[int, ...]] = None,
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     """Pre-norm AdaLN block (``basic_var.py:152-158``):
     x += dp(attn(ln(x)*(s1+1)+sh1) * g1); x += dp(ffn(ln(x)*(s2+1)+sh2) * g2).
@@ -249,7 +249,7 @@ def block_apply(
     p6 = _adaln6(blk, cfg, cond_ctx)
     g1, g2, s1, s2, sh1, sh2 = [p6[:, :, i] for i in range(6)]
     a_in = (_ln(x, cfg.norm_eps) * (s1 + 1.0) + sh1).astype(dtype)
-    a_out, new_kv = attn_apply(blk["attn"], cfg, a_in, bias, cache_kv, impl, levels)
+    a_out, new_kv = attn_apply(blk["attn"], cfg, a_in, bias, cache_kv, impl, scale_ends)
     a_out = a_out * g1.astype(dtype)
     if drop_path_mask is not None:
         a_out = a_out * drop_path_mask[0].astype(dtype)
@@ -344,11 +344,10 @@ def var_forward(
 
     if attn_impl == "pallas":  # factored mask: no L x L bias tensor
         bias = None
-        lvl = jnp.asarray(level_ids(cfg)[:ed])
-        levels = (lvl, lvl)
+        scale_ends = tuple(e for _, e in cfg.begin_ends)
     else:
         bias = jnp.asarray(block_causal_bias(cfg)[:, :, :ed, :ed])
-        levels = None
+        scale_ends = None
     ctx = cond_context(params, cfg, cond_bd)
     x = x.astype(dtype)
     blocks = params["blocks"]
@@ -364,7 +363,7 @@ def var_forward(
                 m2 = jax.random.bernoulli(r2, keep, (b, 1, 1)).astype(F32) / keep
                 dp_mask = (m1, m2)
             x, _ = block_apply(blk, cfg, x, ctx, bias, impl=attn_impl,
-                               drop_path_mask=dp_mask, levels=levels)
+                               drop_path_mask=dp_mask, scale_ends=scale_ends)
     else:  # stacked params -> lax.scan over depth (compile-time O(1) in depth)
         if use_dp:
             rng, r_dp = jax.random.split(rng)
@@ -375,7 +374,7 @@ def var_forward(
             def body(xc, xs):
                 blk, dpm = xs
                 xc, _ = block_apply(blk, cfg, xc, ctx, bias, impl=attn_impl,
-                                    drop_path_mask=(dpm[0], dpm[1]), levels=levels)
+                                    drop_path_mask=(dpm[0], dpm[1]), scale_ends=scale_ends)
                 return xc, None
 
             x, _ = jax.lax.scan(body, x, (blocks, dp_masks))
@@ -383,7 +382,7 @@ def var_forward(
 
             def body(xc, blk):
                 xc, _ = block_apply(blk, cfg, xc, ctx, bias, impl=attn_impl,
-                                    levels=levels)
+                                    scale_ends=scale_ends)
                 return xc, None
 
             x, _ = jax.lax.scan(body, x, blocks)

@@ -27,21 +27,20 @@ def attention(
     scale: float | jax.Array,
     bias: Optional[jax.Array] = None,
     impl: str = DEFAULT_IMPL,
-    levels: Optional[tuple] = None,
+    scale_ends: Optional[tuple] = None,
 ) -> jax.Array:
     """softmax(q @ k^T * scale + bias) @ v.
 
     q: (B, Lq, H, D); k, v: (B, Lk, H, D); bias broadcastable to
     (B, H, Lq, Lk) (the reference's additive block-causal mask,
-    ``var.py:107-112``). ``levels`` = (lvl_q, lvl_k) int32 scale ids — the
-    mask in factored form, required by the pallas path (which never
-    materializes the L x L bias). Softmax in fp32; output in q.dtype.
+    ``var.py:107-112``). ``scale_ends`` = static cumulative per-scale token
+    counts — the mask in factored form, required by the pallas path (which
+    never materializes the L x L bias). Softmax in fp32; output in q.dtype.
     """
     if impl == "pallas":
         from var_tpu.ops.pallas.flash_attention import flash_attention
 
-        lq, lk = levels if levels is not None else (None, None)
-        return flash_attention(q, k, v, scale=scale, level_ids_q=lq, level_ids_k=lk)
+        return flash_attention(q, k, v, scale=scale, scale_ends=scale_ends)
     logits = jnp.einsum("blhd,bmhd->bhlm", q, k).astype(jnp.float32) * scale
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)

@@ -3,13 +3,18 @@
 Replaces the reference's CUDA attention stack (flash-attn / xformers /
 SDPA, ``models/basic_var.py:14-30,96-117``) with an in-repo TPU kernel:
 
-* online-softmax streaming over KV blocks — O(L) memory instead of the
-  materialized L x L bias (``var.py:107-112``), which is what makes the
+* online-softmax with KV streamed through the pallas pipeline (3-D grid
+  ``(batch*heads, q_blocks, kv_blocks)``; running max / denominator /
+  accumulator live in VMEM scratch across the innermost grid dim) —
+  O(block) VMEM regardless of sequence length, which is what makes the
   512px (L=2240) and 1024px (L=9451) presets trainable.
-* VAR's block-causal mask is evaluated *in kernel* from per-position scale
-  ids (key-scale <= query-scale), so no L x L mask tensor ever exists.
+* VAR's block-causal mask is evaluated *in kernel* from the position iota
+  against the static scale boundaries (level(p) = #ends <= p; attend where
+  key-level <= query-level) — no L x L bias tensor and no mask operands at
+  all (an s32 level-id input was enough to trip XLA's scoped-VMEM
+  accounting at L=2240).
 * custom VJP with Pallas backward kernels (dq and dk/dv passes) using the
-  standard recompute-from-logsumexp formulation.
+  standard recompute-from-logsumexp formulation, same streaming structure.
 * the same forward with no mask is the decode-time kernel over the growing
   KV cache (q block = current scale's tokens).
 
@@ -21,8 +26,7 @@ with ``preferred_element_type=float32``.
 from __future__ import annotations
 
 import functools
-import math
-from typing import Optional
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,193 +36,244 @@ from jax.experimental.pallas import tpu as pltpu
 
 F32 = jnp.float32
 NEG_INF = float(np.finfo(np.float32).min)  # large-negative, not -inf (NaN-safe)
+LANES = 128  # scalar-per-row scratch is stored broadcast across one lane tile
 
 
-def _pick_block(n: int, target: int = 256) -> int:
-    """Largest multiple-of-8 block <= target covering n (or n itself)."""
+def _pick_block(n: int, target: int) -> int:
+    """Multiple-of-8 block covering n, capped at target."""
     if n <= target:
         return max(8, -(-n // 8) * 8)
     return target
 
 
+def _params(dim_sems):
+    return pltpu.CompilerParams(dimension_semantics=dim_sems)
+
+
+def _levels_of(pos: jax.Array, ends: Tuple[int, ...]) -> jax.Array:
+    """Scale id of each position: level(p) = #{e in ends : p >= e}.
+
+    ``ends`` are the static cumulative token counts per scale (cfg.begin_ends
+    ends). Positions past the last end (tail-block padding) get a level
+    larger than any real query level, so padded KEY columns mask themselves.
+    """
+    lvl = jnp.zeros(pos.shape, jnp.int32)
+    for e in ends:
+        lvl = lvl + (pos >= e).astype(jnp.int32)
+    return lvl
+
+
+def _zero_pad_rows(x, block_idx, limit):
+    """Zero rows past ``limit`` — pallas pads out-of-bounds tail blocks with
+    arbitrary values (NaN in interpret mode), and 0 * NaN = NaN would leak
+    through the matmuls even where probabilities are zero."""
+    row = block_idx * x.shape[0] + jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0)
+    return jnp.where(row < limit, x, 0.0)
+
+
+def _mask(qi, ki, bq, bk, lk, ends):
+    """(Bq, Bk) validity: key in-range and (if ends) key-level <= query-level."""
+    col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+    valid = col < lk
+    if ends is not None:
+        row = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+        valid = valid & (_levels_of(col, ends) <= _levels_of(row, ends))
+    return valid
+
+
 # ---------------------------------------------------------------------------
-# forward kernel
+# forward kernel: grid (BH, nq, nk); scratch carries online-softmax state
 
 
-def _fwd_kernel(lvlq_ref, lvlk_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
-                block_k: int, lk: int, masked: bool):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                *, ends, lk: int):
+    qi = pl.program_id(1)
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
     q = q_ref[0].astype(F32)  # (Bq, D)
-    bq = q.shape[0]
-    d = q.shape[1]
-    nk = pl.cdiv(lk, block_k)
-    m = jnp.full((bq, 1), NEG_INF, F32)
-    l = jnp.zeros((bq, 1), F32)
-    acc = jnp.zeros((bq, d), F32)
-    if masked:
-        lvl_q = lvlq_ref[0, :, 0]  # (Bq,)
+    k = k_ref[0].astype(F32)  # (Bk, D)
+    v = _zero_pad_rows(v_ref[0].astype(F32), j, lk)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=F32)  # (Bq, Bk)
+    s = jnp.where(_mask(qi, j, q.shape[0], k.shape[0], lk, ends), s, NEG_INF)
 
-    for kb in range(nk):  # static unroll over KV blocks
-        k_blk = k_ref[0, kb * block_k:(kb + 1) * block_k].astype(F32)  # (Bk, D)
-        v_blk = v_ref[0, kb * block_k:(kb + 1) * block_k].astype(F32)
-        s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=F32
-        )  # (Bq, Bk)
-        if masked:
-            lvl_k = lvlk_ref[0, kb * block_k:(kb + 1) * block_k, 0]  # (Bk,)
-            ok = lvl_k[None, :] <= lvl_q[:, None]
-            s = jnp.where(ok, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=F32
-        )
-        m = m_new
+    m_prev = m_scr[:, :1]  # (Bq, 1)
+    l_prev = l_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=F32)
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
 
-    l_safe = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(l_safe)  # (Bq, 1)
+    @pl.when(j == nk - 1)
+    def _flush():
+        l_safe = jnp.where(l_scr[:, :1] == 0.0, 1.0, l_scr[:, :1])
+        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:, :1] + jnp.log(l_safe)
 
 
-def _fwd(q3, k3, v3, lvl_q, lvl_k, block_q, block_k, masked, interpret):
+def _fwd(q3, k3, v3, block_q, block_k, ends, interpret):
     bh, lq, d = q3.shape
     lk = k3.shape[1]
-    nq = pl.cdiv(lq, block_q)
-    grid = (bh, nq)
-    kernel = functools.partial(_fwd_kernel, block_k=block_k, lk=lk, masked=masked)
+    grid = (bh, pl.cdiv(lq, block_q), pl.cdiv(lk, block_k))
     out, lse = pl.pallas_call(
-        kernel,
+        functools.partial(_fwd_kernel, ends=ends, lk=lk),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, 1), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk, 1), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, qi, ki: (i, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, qi, ki: (i, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, qi, ki: (i, ki, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, qi, ki: (i, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, qi, ki: (i, qi, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, lq, d), q3.dtype),
             jax.ShapeDtypeStruct((bh, lq, 1), F32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), F32),  # m
+            pltpu.VMEM((block_q, LANES), F32),  # l
+            pltpu.VMEM((block_q, d), F32),      # acc
+        ],
+        compiler_params=_params(("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(lvl_q[None, :, None], lvl_k[None, :, None], q3, k3, v3)
+    )(q3, k3, v3)
     return out, lse
 
 
 # ---------------------------------------------------------------------------
-# backward kernels (recompute-from-LSE formulation)
+# backward kernels (recompute-from-LSE); same streaming structure
 
 
-def _bwd_dq_kernel(lvlq_ref, lvlk_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                   delta_ref, dq_ref, *, block_k: int, lk: int, masked: bool):
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   dq_scr, *, ends, lk: int):
+    qi = pl.program_id(1)
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
     q = q_ref[0].astype(F32)
+    k = _zero_pad_rows(k_ref[0].astype(F32), j, lk)
+    v = _zero_pad_rows(v_ref[0].astype(F32), j, lk)
     do = do_ref[0].astype(F32)
     lse = lse_ref[0]  # (Bq, 1)
     delta = delta_ref[0]
-    bq, d = q.shape
-    dq = jnp.zeros((bq, d), F32)
-    if masked:
-        lvl_q = lvlq_ref[0, :, 0]
-    for kb in range(pl.cdiv(lk, block_k)):
-        k_blk = k_ref[0, kb * block_k:(kb + 1) * block_k].astype(F32)
-        v_blk = v_ref[0, kb * block_k:(kb + 1) * block_k].astype(F32)
-        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
-                                preferred_element_type=F32)
-        if masked:
-            lvl_k = lvlk_ref[0, kb * block_k:(kb + 1) * block_k, 0]
-            s = jnp.where(lvl_k[None, :] <= lvl_q[:, None], s, NEG_INF)
-        p = jnp.exp(s - lse)  # (Bq, Bk)
-        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=F32)
-        ds = p * (dp - delta)
-        dq = dq + jax.lax.dot_general(ds, k_blk, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=F32)
-    dq_ref[0] = dq.astype(dq_ref.dtype)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=F32)
+    s = jnp.where(_mask(qi, j, q.shape[0], k.shape[0], lk, ends), s, NEG_INF)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=F32)
+    ds = p * (dp - delta)
+    dq_scr[...] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=F32)
+
+    @pl.when(j == nk - 1)
+    def _flush():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(lvlq_ref, lvlk_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                    delta_ref, dk_ref, dv_ref, *, block_q: int, lq: int, masked: bool):
-    k_blk = k_ref[0].astype(F32)  # (Bk, D)
-    v_blk = v_ref[0].astype(F32)
-    bk, d = k_blk.shape
-    dk = jnp.zeros((bk, d), F32)
-    dv = jnp.zeros((bk, d), F32)
-    if masked:
-        lvl_k = lvlk_ref[0, :, 0]
-    for qb in range(pl.cdiv(lq, block_q)):
-        q = q_ref_block = q_ref[0, qb * block_q:(qb + 1) * block_q].astype(F32)
-        do = do_ref[0, qb * block_q:(qb + 1) * block_q].astype(F32)
-        lse = lse_ref[0, qb * block_q:(qb + 1) * block_q]  # (Bq, 1)
-        delta = delta_ref[0, qb * block_q:(qb + 1) * block_q]
-        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
-                                preferred_element_type=F32)
-        if masked:
-            lvl_q = lvlq_ref[0, qb * block_q:(qb + 1) * block_q, 0]
-            s = jnp.where(lvl_k[None, :] <= lvl_q[:, None], s, NEG_INF)
-        p = jnp.exp(s - lse)  # (Bq, Bk)
-        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=F32)
-        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=F32)
-        ds = p * (dp - delta)
-        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=F32)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr, *, ends, lq: int, lk: int):
+    ki = pl.program_id(1)
+    j = pl.program_id(2)  # query-block index
+    nq = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = _zero_pad_rows(q_ref[0].astype(F32), j, lq)
+    k = k_ref[0].astype(F32)  # (Bk, D)
+    v = v_ref[0].astype(F32)
+    do = _zero_pad_rows(do_ref[0].astype(F32), j, lq)
+    lse = _zero_pad_rows(lse_ref[0], j, lq)  # (Bq, 1)
+    delta = _zero_pad_rows(delta_ref[0], j, lq)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=F32)  # (Bq, Bk)
+    bq, bk = s.shape
+    row = j * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+    # note the swapped roles: grid dim 1 is the KV block, dim 2 the q block
+    valid = (row < lq) & _mask(j, ki, bq, bk, lk, ends)
+    s = jnp.where(valid, s, NEG_INF)
+    p = jnp.where(row < lq, jnp.exp(s - lse), 0.0)
+    dv_scr[...] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=F32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=F32)
+    ds = jnp.where(row < lq, p * (dp - delta), 0.0)
+    dk_scr[...] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=F32)
+
+    @pl.when(j == nq - 1)
+    def _flush():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _bwd(q3, k3, v3, lvl_q, lvl_k, out, lse, do, block_q, block_k, masked, interpret):
+def _bwd(q3, k3, v3, out, lse, do, block_q, block_k, ends, interpret):
     bh, lq, d = q3.shape
     lk = k3.shape[1]
-    delta = jnp.sum(do.astype(F32) * out.astype(F32), axis=-1, keepdims=True)  # (BH, Lq, 1)
+    delta = jnp.sum(do.astype(F32) * out.astype(F32), axis=-1, keepdims=True)
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, block_k=block_k, lk=lk, masked=masked),
-        grid=(bh, pl.cdiv(lq, block_q)),
+        functools.partial(_bwd_dq_kernel, ends=ends, lk=lk),
+        grid=(bh, pl.cdiv(lq, block_q), pl.cdiv(lk, block_k)),
         in_specs=[
-            pl.BlockSpec((1, block_q, 1), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk, 1), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, qi, ki: (i, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, qi, ki: (i, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, qi, ki: (i, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, qi, ki: (i, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, qi, ki: (i, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, qi, ki: (i, qi, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, qi, ki: (i, qi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, lq, d), q3.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), F32)],
+        compiler_params=_params(("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(lvl_q[None, :, None], lvl_k[None, :, None], q3, k3, v3, do, lse, delta)
+    )(q3, k3, v3, do, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, block_q=block_q, lq=lq, masked=masked),
-        grid=(bh, pl.cdiv(lk, block_k)),
+        functools.partial(_bwd_dkv_kernel, ends=ends, lq=lq, lk=lk),
+        grid=(bh, pl.cdiv(lk, block_k), pl.cdiv(lq, block_q)),
         in_specs=[
-            pl.BlockSpec((1, lq, 1), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, 1), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lq, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lq, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lq, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lq, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, ki, qi: (i, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, ki, qi: (i, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, ki, qi: (i, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, ki, qi: (i, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, ki, qi: (i, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, ki, qi: (i, qi, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, ki, qi: (i, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, ki, qi: (i, ki, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, lk, d), k3.dtype),
             jax.ShapeDtypeStruct((bh, lk, d), v3.dtype),
         ],
+        scratch_shapes=[pltpu.VMEM((block_k, d), F32), pltpu.VMEM((block_k, d), F32)],
+        compiler_params=_params(("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(lvl_q[None, :, None], lvl_k[None, :, None], q3, k3, v3, do, lse, delta)
+    )(q3, k3, v3, do, lse, delta)
     return dq, dk, dv
 
 
@@ -226,24 +281,22 @@ def _bwd(q3, k3, v3, lvl_q, lvl_k, out, lse, do, block_q, block_k, masked, inter
 # public entry
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _flash(q3, k3, v3, lvl_q, lvl_k, masked: bool, block_sizes, interpret: bool):
-    out, _ = _fwd(q3, k3, v3, lvl_q, lvl_k, block_sizes[0], block_sizes[1],
-                  masked, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q3, k3, v3, ends, block_sizes, interpret: bool):
+    out, _ = _fwd(q3, k3, v3, block_sizes[0], block_sizes[1], ends, interpret)
     return out
 
 
-def _flash_fwd(q3, k3, v3, lvl_q, lvl_k, masked, block_sizes, interpret):
-    out, lse = _fwd(q3, k3, v3, lvl_q, lvl_k, block_sizes[0], block_sizes[1],
-                    masked, interpret)
-    return out, (q3, k3, v3, lvl_q, lvl_k, out, lse)
+def _flash_fwd(q3, k3, v3, ends, block_sizes, interpret):
+    out, lse = _fwd(q3, k3, v3, block_sizes[0], block_sizes[1], ends, interpret)
+    return out, (q3, k3, v3, out, lse)
 
 
-def _flash_bwd(masked, block_sizes, interpret, res, do):
-    q3, k3, v3, lvl_q, lvl_k, out, lse = res
-    dq, dk, dv = _bwd(q3, k3, v3, lvl_q, lvl_k, out, lse, do,
-                      block_sizes[0], block_sizes[1], masked, interpret)
-    return dq, dk, dv, None, None
+def _flash_bwd(ends, block_sizes, interpret, res, do):
+    q3, k3, v3, out, lse = res
+    dq, dk, dv = _bwd(q3, k3, v3, out, lse, do, block_sizes[0], block_sizes[1],
+                      ends, interpret)
+    return dq, dk, dv
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -255,47 +308,44 @@ def flash_attention(
     v: jax.Array,
     scale: float = 1.0,
     bias: Optional[jax.Array] = None,
-    level_ids_q: Optional[jax.Array] = None,
-    level_ids_k: Optional[jax.Array] = None,
+    scale_ends: Optional[Sequence[int]] = None,
     block_q: int = 256,
-    block_k: int = 256,
+    block_k: int = 512,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Flash attention over BLHD tensors with VAR's block-causal scale mask.
 
-    Either pass ``level_ids_q/k`` (int32 scale ids; attend where
-    k-level <= q-level) or nothing (dense attention, the decode case).
-    ``bias`` is accepted for API compatibility with the XLA path but only
-    the block-causal pattern derived from level ids is supported here —
-    callers that need an arbitrary bias should use impl='xla'.
+    ``scale_ends``: static cumulative per-scale token counts (the ends of
+    ``cfg.begin_ends``); attend where key-scale <= query-scale. None = dense
+    attention (the decode case). ``bias`` is accepted for API compatibility
+    with the XLA path but only the block-causal pattern is supported here —
+    callers needing an arbitrary bias should use impl='xla'.
     """
-    assert bias is None, "pallas path takes level_ids, not a dense bias"
+    assert bias is None, "pallas path takes scale_ends, not a dense bias"
     b, lq, h, d = q.shape
     lk = k.shape[1]
+    ends = tuple(int(e) for e in scale_ends) if scale_ends is not None else None
     if lq < 8 or lk < 8:
         # tiny decode stages (1-4 query tokens): below the TPU tile minimum
         # and faster as a plain fused dot-general anyway
         logits = jnp.einsum("blhd,bmhd->bhlm", q, k).astype(F32) * scale
-        if level_ids_q is not None:
-            ok = level_ids_k[None, :] <= level_ids_q[:, None]
+        if ends is not None:
+            lvl_q = _levels_of(jnp.arange(lq), ends)
+            lvl_k = _levels_of(jnp.arange(lk), ends)
+            ok = lvl_k[None, :] <= lvl_q[:, None]
             logits = jnp.where(ok[None, None], logits, NEG_INF)
         probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         return jnp.einsum("bhlm,bmhd->blhd", probs, v)
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
-    masked = level_ids_q is not None
-    if not masked:
-        level_ids_q = jnp.zeros((lq,), jnp.int32)
-        level_ids_k = jnp.zeros((lk,), jnp.int32)
 
-    bq = min(block_q, _pick_block(lq))
-    bk = min(block_k, _pick_block(lk))
+    bq = _pick_block(lq, block_q)
+    bk = _pick_block(lk, block_k)
     # fold scale into q (scalar; the l2-norm path pre-scales q itself)
     qs = (q.astype(F32) * scale).astype(q.dtype)
     # BLHD -> (B*H, L, D)
     q3 = qs.transpose(0, 2, 1, 3).reshape(b * h, lq, d)
     k3 = k.transpose(0, 2, 1, 3).reshape(b * h, lk, d)
     v3 = v.transpose(0, 2, 1, 3).reshape(b * h, lk, d)
-    out = _flash(q3, k3, v3, level_ids_q.astype(jnp.int32),
-                 level_ids_k.astype(jnp.int32), masked, (bq, bk), interpret)
+    out = _flash(q3, k3, v3, ends, (bq, bk), interpret)
     return out.reshape(b, h, lq, d).transpose(0, 2, 1, 3)
