@@ -257,8 +257,11 @@ def main():
             if val_iter is not None:
                 stats = np.zeros(5, np.float64)
                 for imgs, labels in val_iter():
-                    imgs = jax.device_put(imgs, jax.sharding.NamedSharding(
-                        mesh, jax.sharding.PartitionSpec(pm.DATA_AXIS)))
+                    if imgs.shape[0] % ndev == 0:
+                        imgs = jax.device_put(imgs, jax.sharding.NamedSharding(
+                            mesh, jax.sharding.PartitionSpec(pm.DATA_AXIS)))
+                    else:  # ragged final batch: replicate instead of shard
+                        imgs = jax.device_put(imgs, pm.replicated(mesh))
                     stats += np.asarray(eval_step(state.params, vae_params, imgs,
                                                   jnp.asarray(labels)), np.float64)
                 tot = stats[-1]
