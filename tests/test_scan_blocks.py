@@ -79,3 +79,23 @@ def test_train_step_with_stacked_params():
     state, m = step(state, vae_params, imgs, jnp.array([[0, 1]]),
                     jax.random.PRNGKey(6), jnp.int32(0), jnp.float32(1.0))
     assert np.isfinite(float(m.loss))
+
+
+def test_remat_matches_no_remat():
+    """jax.checkpoint path: same logits and same gradients."""
+    cfg, params = _setup()
+    stacked = var_mod.stack_block_params(params)
+    label = jnp.array([1, 3])
+    x_in = jax.random.normal(jax.random.PRNGKey(7), (2, cfg.seq_len - 1, 8))
+
+    def loss(p, remat):
+        lg = var_mod.var_forward(p, cfg, label, x_in, dtype=jnp.float32, remat=remat)
+        return (lg ** 2).mean()
+
+    a = loss(stacked, False)
+    b = loss(stacked, True)
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+    ga = jax.grad(lambda p: loss(p, False))(stacked)
+    gb = jax.grad(lambda p: loss(p, True))(stacked)
+    for x, y in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-7)

@@ -178,6 +178,7 @@ def make_train_step(
         logits = var_mod.var_forward(
             params, var_cfg, label, x_in, rng=rng, train=True,
             prog_si=prog_si, dtype=dtype, attn_impl=attn_impl,
+            remat=getattr(args, "remat", False),
         )
         ce = cross_entropy(logits, gt_bl, args.ls)  # (B, ed)
         lw = jnp.full((ed,), 1.0 / L, F32)

@@ -155,11 +155,17 @@ def param_count(params) -> int:
 
 
 def _ln(x: jax.Array, eps: float) -> jax.Array:
-    """LayerNorm without affine params, fp32 statistics (``basic_var.py:141``)."""
+    """LayerNorm without affine params, fp32 statistics (``basic_var.py:141``).
+    Statistics come from fused convert+reduce passes; the normalization is
+    applied in the input dtype so no fp32 copy of the activations is
+    materialized (exact for fp32 inputs; bf16 runs round once like every
+    other elementwise op)."""
     xf = x.astype(F32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.var(xf, axis=-1, keepdims=True)
-    return (xf - mu) * jax.lax.rsqrt(var + eps)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+    inv = jax.lax.rsqrt(var + eps)
+    dt = x.dtype
+    return (x - mu.astype(dt)) * inv.astype(dt)
 
 
 def _l2norm(x: jax.Array) -> jax.Array:
@@ -247,15 +253,15 @@ def block_apply(
     """
     dtype = x.dtype
     p6 = _adaln6(blk, cfg, cond_ctx)
-    g1, g2, s1, s2, sh1, sh2 = [p6[:, :, i] for i in range(6)]
-    a_in = (_ln(x, cfg.norm_eps) * (s1 + 1.0) + sh1).astype(dtype)
+    g1, g2, s1, s2, sh1, sh2 = [p6[:, :, i].astype(dtype) for i in range(6)]
+    a_in = _ln(x, cfg.norm_eps) * (s1 + 1.0) + sh1
     a_out, new_kv = attn_apply(blk["attn"], cfg, a_in, bias, cache_kv, impl, scale_ends)
-    a_out = a_out * g1.astype(dtype)
+    a_out = a_out * g1
     if drop_path_mask is not None:
         a_out = a_out * drop_path_mask[0].astype(dtype)
     x = x + a_out
-    f_in = (_ln(x, cfg.norm_eps) * (s2 + 1.0) + sh2).astype(dtype)
-    f_out = ffn_apply(blk["ffn"], f_in) * g2.astype(dtype)
+    f_in = _ln(x, cfg.norm_eps) * (s2 + 1.0) + sh2
+    f_out = ffn_apply(blk["ffn"], f_in) * g2
     if drop_path_mask is not None:
         f_out = f_out * drop_path_mask[1].astype(dtype)
     x = x + f_out
@@ -318,8 +324,11 @@ def var_forward(
     prog_si: int = -1,
     dtype=jnp.bfloat16,
     attn_impl: str = "xla",
+    remat: bool = False,
 ) -> jax.Array:
     """Teacher-forced forward (``var.py:192-234``) -> fp32 logits (B, ed, V).
+    ``remat=True`` rematerializes each block in backward (activation memory
+    O(1) in depth — the d30/d36 training fit knob).
 
     ``x_blcv_wo_first_l``: (B, L - first_l, Cvae) quantizer-space inputs from
     ``quantizer.idxBl_to_var_input``. ``prog_si`` >= 0 truncates the sequence
@@ -351,6 +360,24 @@ def var_forward(
     ctx = cond_context(params, cfg, cond_bd)
     x = x.astype(dtype)
     blocks = params["blocks"]
+    if remat:
+        # close over non-jax statics (cfg, mask kind, impl); checkpoint only
+        # traced operands so backward rematerializes each block
+        ctx_kind = None
+
+        @jax.checkpoint
+        def _blk_remat(blk, x_, cond_val, dpm):
+            return block_apply(blk, cfg, x_, (ctx_kind, cond_val), bias,
+                               impl=attn_impl, drop_path_mask=dpm,
+                               scale_ends=scale_ends)[0]
+
+        def block_fn(blk, cfg_, x_, ctx_, bias_, impl=None, drop_path_mask=None,
+                     scale_ends=None):
+            nonlocal ctx_kind
+            ctx_kind = ctx_[0]
+            return _blk_remat(blk, x_, ctx_[1], drop_path_mask), None
+    else:
+        block_fn = block_apply
     dp_rates = np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
     use_dp = train and cfg.drop_path_rate > 0
     if isinstance(blocks, (list, tuple)):  # unrolled path
@@ -362,8 +389,8 @@ def var_forward(
                 m1 = jax.random.bernoulli(r1, keep, (b, 1, 1)).astype(F32) / keep
                 m2 = jax.random.bernoulli(r2, keep, (b, 1, 1)).astype(F32) / keep
                 dp_mask = (m1, m2)
-            x, _ = block_apply(blk, cfg, x, ctx, bias, impl=attn_impl,
-                               drop_path_mask=dp_mask, scale_ends=scale_ends)
+            x, _ = block_fn(blk, cfg, x, ctx, bias, impl=attn_impl,
+                            drop_path_mask=dp_mask, scale_ends=scale_ends)
     else:  # stacked params -> lax.scan over depth (compile-time O(1) in depth)
         if use_dp:
             rng, r_dp = jax.random.split(rng)
@@ -373,16 +400,16 @@ def var_forward(
 
             def body(xc, xs):
                 blk, dpm = xs
-                xc, _ = block_apply(blk, cfg, xc, ctx, bias, impl=attn_impl,
-                                    drop_path_mask=(dpm[0], dpm[1]), scale_ends=scale_ends)
+                xc, _ = block_fn(blk, cfg, xc, ctx, bias, impl=attn_impl,
+                                 drop_path_mask=(dpm[0], dpm[1]), scale_ends=scale_ends)
                 return xc, None
 
             x, _ = jax.lax.scan(body, x, (blocks, dp_masks))
         else:
 
             def body(xc, blk):
-                xc, _ = block_apply(blk, cfg, xc, ctx, bias, impl=attn_impl,
-                                    scale_ends=scale_ends)
+                xc, _ = block_fn(blk, cfg, xc, ctx, bias, impl=attn_impl,
+                                 scale_ends=scale_ends)
                 return xc, None
 
             x, _ = jax.lax.scan(body, x, blocks)
