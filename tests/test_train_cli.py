@@ -1,0 +1,32 @@
+"""End-to-end train CLI smoke (subprocess): 2-step local_debug with
+checkpoint round-trip, then auto-resume on re-invocation."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_local_debug_smoke_and_resume(tmp_path):
+    env = dict(os.environ,
+               VAR_TPU_FORCE_CPU="1",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    out_dir = str(tmp_path / "out")
+    cmd = [sys.executable, "train.py", "--local_debug=1", "--bs=8", "--ep=2",
+           f"--local_out_dir_path={out_dir}"]
+    r1 = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True, text=True,
+                        timeout=420)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert "checkpoint state_dict round-trip OK" in r1.stdout
+    assert os.path.isdir(os.path.join(out_dir, "ar-ckpt-last"))
+
+    cmd2 = [sys.executable, "train.py", "--local_debug=1", "--bs=8", "--ep=3",
+            f"--local_out_dir_path={out_dir}"]
+    r2 = subprocess.run(cmd2, cwd=REPO, env=env, capture_output=True, text=True,
+                        timeout=420)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "auto-resumed" in r2.stdout

@@ -264,6 +264,12 @@ def main():
                         imgs = jax.device_put(imgs, pm.replicated(mesh))
                     stats += np.asarray(eval_step(state.params, vae_params, imgs,
                                                   jnp.asarray(labels)), np.float64)
+                if jax.process_count() > 1:  # reference dist.allreduce (trainer.py:80)
+                    from jax.experimental import multihost_utils
+
+                    stats = np.asarray(
+                        multihost_utils.process_allgather(jnp.asarray(stats))
+                    ).sum(axis=0)
                 tot = stats[-1]
                 vL_mean, vL_tail, vacc_mean, vacc_tail = (stats[:4] / max(tot, 1)).tolist()
                 log(f"[ep {ep}] val: L_mean {vL_mean:.4f} L_tail {vL_tail:.4f} "

@@ -190,20 +190,27 @@ def make_train_step(
     def step(state: TrainState, vae_params, imgs, labels, rng, g_it, prog_wp):
         ac = imgs.shape[0]
 
-        def micro(carry, xs):
-            grads_acc, loss_acc = carry
-            img, label, r = xs
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, vae_params, img, label, r, prog_wp
+        if ac == 1:  # no accumulation: skip the scan (avoids nested scans)
+            (loss, (logits_m, gt_m)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, vae_params, imgs[0], labels[0], rng, prog_wp
             )
-            grads_acc = jax.tree.map(lambda a, g: a + g / ac, grads_acc, grads)
-            return (grads_acc, loss_acc + loss / ac), aux
+            logits, gt_bl = logits_m[None], gt_m[None]
+        else:
 
-        zero = jax.tree.map(lambda p: jnp.zeros_like(p, F32), state.params)
-        rngs = jax.random.split(rng, ac)
-        (grads, loss), (logits, gt_bl) = jax.lax.scan(
-            micro, (zero, jnp.float32(0.0)), (imgs, labels, rngs)
-        )
+            def micro(carry, xs):
+                grads_acc, loss_acc = carry
+                img, label, r = xs
+                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, vae_params, img, label, r, prog_wp
+                )
+                grads_acc = jax.tree.map(lambda a, g: a + g / ac, grads_acc, grads)
+                return (grads_acc, loss_acc + loss / ac), aux
+
+            zero = jax.tree.map(lambda p: jnp.zeros_like(p, F32), state.params)
+            rngs = jax.random.split(rng, ac)
+            (grads, loss), (logits, gt_bl) = jax.lax.scan(
+                micro, (zero, jnp.float32(0.0)), (imgs, labels, rngs)
+            )
         lr = args.tlr * lr_factor(args.sche, g_it, wp_it, max_it, args.wp0, args.wpe)
         wd = wd_value(g_it, max_it, args.twd, args.twde)
         new_params, new_opt, gnorm = opt_update(grads, state.opt_state, state.params, lr, wd)
