@@ -19,14 +19,13 @@ from __future__ import annotations
 
 import json
 import os
-from functools import partial
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from var_tpu.config import VAEConfig, VARConfig
+from var_tpu.config import VARConfig
 from var_tpu.models import quantizer as q
 from var_tpu.models import vae as vae_mod
 from var_tpu.models import var as var_mod

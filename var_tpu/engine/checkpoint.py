@@ -15,8 +15,6 @@ import json
 import os
 from typing import Any, Optional, Tuple
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 

@@ -16,8 +16,7 @@ itself operates on numpy arrays).
 
 from __future__ import annotations
 
-import re
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -38,10 +38,6 @@ class DecodeResult(NamedTuple):
     f_hat: jax.Array  # (B, h, w, Cvae) final accumulated latent
 
 
-def _cfg_logits(logits: jax.Array, b: int, t) -> jax.Array:
-    return (1.0 + t) * logits[:b] - t * logits[b:]
-
-
 def decode_cfg(
     var_params: dict,
     vae_params: dict,

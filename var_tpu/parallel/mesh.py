@@ -16,8 +16,6 @@ The mesh carries a 'model' axis so tensor-sharding the larger VAR variants
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import numpy as np
 from jax.experimental import mesh_utils
