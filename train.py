@@ -135,7 +135,9 @@ def main():
         train_iter = iter(DataLoader(
             train_ds, iter(sampler), make_transform(args.data_load_reso, args.mid_reso,
                                                     train=True, hflip=args.hflip),
-            num_threads=args.workers or 16, seed=args.seed or 0,
+            # rank-offset augmentation seed (arg_util.seed_everything rule)
+            num_threads=args.workers or 16,
+            seed=(args.seed or 0) * jax.process_count() + jax.process_index(),
             batch_transform=batch_tf,
         ))
 
