@@ -288,10 +288,13 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=50)
     p.add_argument("--batch_size", type=int, default=10)
     p.add_argument("--plot", action="store_true")
+    p.add_argument("--imagenet_a_json", default="",
+                   help="imagenet_class_index.json for ImageNet-A folders")
     args = p.parse_args(argv)
 
     from var_tpu.config import parse_patch_nums
-    from var_tpu.data.imagenet import FolderDataset, make_transform
+    from var_tpu.data.imagenet import (FolderDataset, build_imagenet_a_class_map,
+                                       make_transform)
     from var_tpu.models import build_vae_var
 
     pns = parse_patch_nums(args.pn)
@@ -310,7 +313,10 @@ def main(argv=None):
 
     reso = pns[-1] * vae_cfg.downsample
     tf = make_transform(reso, train=False)
-    ds = FolderDataset(args.data_path)
+    cls_map = None
+    if args.imagenet_a_json:
+        cls_map = build_imagenet_a_class_map(args.imagenet_a_json, args.data_path)
+    ds = FolderDataset(args.data_path, class_to_idx=cls_map)
     os.makedirs(args.out_dir, exist_ok=True)
     rng = np.random.default_rng(0)
     records = []
