@@ -138,3 +138,23 @@ def test_save_grid(tmp_path):
 
     g = Image.open(path)
     assert g.size == (32, 16)
+
+
+def test_kv_window_pruning(setup):
+    """kv_window >= num_scales is exactly the baseline; a small window runs
+    and produces valid (different) tokens."""
+    vae_cfg, var_cfg, vae_params, var_params, img, gt = setup
+    base = decode_cfg(var_params, vae_params, var_cfg, vae_cfg,
+                      jax.random.PRNGKey(0), jnp.asarray([3]), cfg_scale=1.5,
+                      top_k=1, dtype=jnp.float32)
+    same = decode_cfg(var_params, vae_params, var_cfg, vae_cfg,
+                      jax.random.PRNGKey(0), jnp.asarray([3]), cfg_scale=1.5,
+                      top_k=1, dtype=jnp.float32, kv_window=len(var_cfg.patch_nums))
+    np.testing.assert_array_equal(np.asarray(base.tokens), np.asarray(same.tokens))
+    pruned = decode_cfg(var_params, vae_params, var_cfg, vae_cfg,
+                        jax.random.PRNGKey(0), jnp.asarray([3]), cfg_scale=1.5,
+                        top_k=1, dtype=jnp.float32, kv_window=1)
+    t = np.asarray(pruned.tokens)
+    assert t.shape == np.asarray(base.tokens).shape
+    assert (t >= 0).all() and (t < var_cfg.vocab_size).all()
+    assert np.isfinite(np.asarray(pruned.image)).all()

@@ -54,6 +54,7 @@ def decode_cfg(
     gt_tokens: Optional[jax.Array] = None,
     keep_mask: Optional[jax.Array] = None,
     edit_mask: Optional[jax.Array] = None,
+    kv_window: Optional[int] = None,
 ) -> DecodeResult:
     """Class-conditional CFG decode; with ``gt_tokens``+``keep_mask`` it is
     token-mask inpainting (kept positions take ground-truth ids and steer all
@@ -66,6 +67,12 @@ def decode_cfg(
 
     ``label_b``: (B,) int32 class labels. ``keep_mask``: (B, L) bool, True =
     keep ground truth. ``edit_mask``: (ph, pw) float, 1 = keep ground truth.
+
+    ``kv_window`` (opt-in, default off = exact reference semantics): at each
+    stage attend only to the KV of the first scale plus the last
+    ``kv_window`` scales — scale-windowed KV pruning in the spirit of the
+    scale-aware KV-compression literature for VAR; trades a small output
+    deviation for less attention work and cache memory at long presets.
     Returns images in [0, 1].
     """
     b = label_b.shape[0]
@@ -82,15 +89,36 @@ def decode_cfg(
     ntm = sos + lvl_pos[:, : var_cfg.first_l]  # (2B, first_l, C)
 
     f_hat = jnp.zeros((b, pns[-1], pns[-1], vae_cfg.z_channels), F32)
-    caches = None
+    caches = None  # full (never-pruned) cache
+    attend = None  # what the next stage attends to (== caches unless kv_window)
     cur = 0
     token_segs = []
+    first_l = var_cfg.first_l
     for si, pn in enumerate(pns):
         ratio = si / var_cfg.num_stages_minus_1
         seg = pn * pn
-        x, caches = var_mod.transformer_stage(
-            var_params, var_cfg, ntm, ctx, caches, dtype=dtype, attn_impl=attn_impl
+        x, grown = var_mod.transformer_stage(
+            var_params, var_cfg, ntm, ctx, attend, dtype=dtype, attn_impl=attn_impl
         )
+        ntm_len = ntm.shape[1]
+        if kv_window is None:
+            caches = attend = grown
+        else:
+            knew = grown[0][:, :, -ntm_len:]
+            vnew = grown[1][:, :, -ntm_len:]
+            if caches is None:
+                caches = (knew, vnew)
+            else:
+                caches = (jnp.concatenate([caches[0], knew], axis=2),
+                          jnp.concatenate([caches[1], vnew], axis=2))
+            nxt_si = si + 1
+            if nxt_si - kv_window <= 0:
+                attend = caches
+            else:
+                keep_from = var_cfg.begin_ends[nxt_si - kv_window][1]
+                attend = tuple(
+                    jnp.concatenate([c[:, :, :first_l], c[:, :, keep_from:]], axis=2)
+                    for c in caches)
         # CFG-mixed logits with the head matmul on B rows (get_logits_cfg)
         lg = var_mod.get_logits_cfg(var_params, var_cfg, x, cond_bd, cfg_scale * ratio)
         rng, r_samp, r_gum = jax.random.split(rng, 3)
@@ -142,6 +170,7 @@ def make_sampler(
     dtype=jnp.bfloat16,
     attn_impl: str = "xla",
     inpainting: bool = False,
+    kv_window: Optional[int] = None,
 ):
     """jit-compiled sampler: (var_params, vae_params, rng, label_b[, gt, mask])
     -> DecodeResult. Sampling hyper-parameters are compile-time constants
@@ -154,6 +183,7 @@ def make_sampler(
         more_smooth=more_smooth,
         dtype=dtype,
         attn_impl=attn_impl,
+        kv_window=kv_window,
     )
 
     if inpainting:

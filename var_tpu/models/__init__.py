@@ -52,6 +52,17 @@ def build_vae_var(
     )
     rng = jax.random.PRNGKey(0) if rng is None else rng
     r1, r2 = jax.random.split(rng)
+    # Random-init large models on host CPU when available: initializing a
+    # 2B-param model directly on a 16GB chip transiently holds params twice
+    # (init + stacked copy) and OOMs. Checkpoint loads are numpy -> no issue.
+    import contextlib
+
+    init_ctx = contextlib.nullcontext()
+    if depth >= 24 and not var_ckpt:
+        try:
+            init_ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+        except RuntimeError:
+            pass
     if vae_ckpt:
         from var_tpu.engine.convert import convert_vae, load_torch_state_dict
 
@@ -63,10 +74,12 @@ def build_vae_var(
 
         var_params = convert_var(load_torch_state_dict(var_ckpt), var_cfg)
     else:
-        var_params = var.init_var_params(
-            r2, var_cfg, init_std=init_std, init_head=init_head,
-            init_adaln=init_adaln, init_adaln_gamma=init_adaln_gamma,
-        )
+        with init_ctx:
+            var_params = var.init_var_params(
+                r2, var_cfg, init_std=init_std, init_head=init_head,
+                init_adaln=init_adaln, init_adaln_gamma=init_adaln_gamma,
+            )
     if stack_blocks:
-        var_params = var.stack_block_params(var_params)
+        with init_ctx:
+            var_params = var.stack_block_params(var_params)
     return vae_cfg, var_cfg, vae_params, var_params
