@@ -158,3 +158,13 @@ def test_kv_window_pruning(setup):
     assert t.shape == np.asarray(base.tokens).shape
     assert (t >= 0).all() and (t < var_cfg.vocab_size).all()
     assert np.isfinite(np.asarray(pruned.image)).all()
+
+
+def test_more_smooth_decode(setup):
+    """Gumbel-softmax smoothing path (reference more_smooth, var.py:176-182)."""
+    vae_cfg, var_cfg, vae_params, var_params, img, gt = setup
+    res = decode_cfg(var_params, vae_params, var_cfg, vae_cfg,
+                     jax.random.PRNGKey(0), jnp.asarray([3]), cfg_scale=4.0,
+                     top_k=8, more_smooth=True, dtype=jnp.float32)
+    assert np.isfinite(np.asarray(res.image)).all()
+    assert 0.0 <= float(res.image.min()) and float(res.image.max()) <= 1.0
