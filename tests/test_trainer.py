@@ -148,3 +148,37 @@ def test_data_parallel_step_on_mesh():
     np.testing.assert_allclose(float(m1.loss), float(m0.loss), rtol=1e-5)
     d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), s0.params, s1.params)
     assert max(jax.tree_util.tree_leaves(d)) < 1e-5
+
+
+def test_gather_diff_shape():
+    """dist.allgather_diff_shape equivalent: pad + all_gather + lengths."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from var_tpu.parallel import mesh as pm
+
+    mesh = pm.make_mesh()
+    f = jax.shard_map(partial(pm.gather_diff_shape, max_len=4), mesh=mesh,
+                      in_specs=P("data"), out_specs=(P(), P()), check_vma=False)
+    x = jnp.arange(16.0).reshape(16, 1)
+    g, lens = f(x)
+    assert g.shape == (8, 4, 1)
+    assert np.asarray(lens).tolist() == [2] * 8
+    # each shard's first 2 rows are its own data, rest is padding
+    np.testing.assert_allclose(np.asarray(g)[0, :2, 0], [0.0, 1.0])
+
+
+def test_quantizer_eini():
+    from var_tpu.config import VAEConfig
+    from var_tpu.models import quantizer as q
+    from var_tpu.models import vae as vae_mod
+
+    cfg = VAEConfig(vocab_size=16, z_channels=8, ch=32, ch_mult=(1, 1),
+                    v_patch_nums=(1, 2, 3))
+    params = vae_mod.init_vae_params(jax.random.PRNGKey(0), cfg)["quantize"]
+    p_tn = q.eini(params, jax.random.PRNGKey(1), 0.5, cfg)
+    assert abs(float(p_tn["embedding"].std()) - 0.44) < 0.15  # trunc-normal(0.5)
+    p_u = q.eini(params, jax.random.PRNGKey(1), -2.0, cfg)
+    assert float(jnp.abs(p_u["embedding"]).max()) <= 2.0 / 16
+    assert q.eini(params, jax.random.PRNGKey(1), 0.0, cfg) is params

@@ -64,6 +64,23 @@ def init_quantizer_params(rng: jax.Array, cfg: VAEConfig) -> dict:
     return {"embedding": emb, "phi": phis}
 
 
+def eini(params: dict, rng: jax.Array, value: float, cfg: VAEConfig) -> dict:
+    """Codebook re-init (reference ``quant.py:44-46``): value > 0 ->
+    trunc-normal(std=value); value < 0 -> uniform(+-|value|/V); 0 -> no-op."""
+    if value == 0:
+        return params
+    v, c = params["embedding"].shape
+    if value > 0:
+        emb = jax.random.truncated_normal(rng, -2.0 / value, 2.0 / value,
+                                          (v, c), jnp.float32) * value
+    else:
+        emb = jax.random.uniform(rng, (v, c), jnp.float32,
+                                 -abs(value) / v, abs(value) / v)
+    out = dict(params)
+    out["embedding"] = emb
+    return out
+
+
 def num_phi(cfg: VAEConfig) -> int:
     if cfg.share_quant_resi == 0:  # non-shared: one phi per scale
         return len(cfg.v_patch_nums)

@@ -306,6 +306,16 @@ def idxBl_to_img(
     return [fhat_to_img(params, cfg, f) for f in fh]
 
 
+def embed_to_img(params: dict, cfg: VAEConfig, ms_h_bhwc: List[jax.Array],
+                 all_to_max_scale: bool = True, last_one: bool = True):
+    """Per-scale embeddings -> decoded image(s) (vqvae.py:86-90)."""
+    fh = q.embed_to_fhat(params["quantize"], cfg, ms_h_bhwc,
+                         all_to_max_scale=all_to_max_scale, last_one=last_one)
+    if last_one:
+        return fhat_to_img(params, cfg, fh)
+    return [fhat_to_img(params, cfg, f) for f in fh]
+
+
 def img_to_reconstructed_img(params, cfg, img, v_patch_nums=None, last_one=True):
     """Round-trip reconstruction (vqvae.py:92-98)."""
     fhats = img_to_fhat(params, cfg, img, v_patch_nums)

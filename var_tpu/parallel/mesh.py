@@ -78,6 +78,22 @@ def barrier(name: str = "barrier") -> None:
         multihost_utils.sync_global_devices(name)
 
 
+def gather_diff_shape(x, axis_name: str = DATA_AXIS, max_len=None):
+    """All-gather arrays whose leading dim differs per shard (reference
+    ``dist.allgather_diff_shape``, dist.py:122-146): pad to the max length,
+    all-gather, return (stacked padded array, lengths). For use inside
+    shard_map/pjit bodies."""
+    import jax.numpy as jnp
+
+    n = x.shape[0]
+    assert max_len is not None, "static max_len required under jit"
+    pad = [(0, max_len - n)] + [(0, 0)] * (x.ndim - 1)
+    padded = jnp.pad(x, pad)
+    gathered = jax.lax.all_gather(padded, axis_name)
+    lengths = jax.lax.all_gather(jnp.asarray(n), axis_name)
+    return gathered, lengths
+
+
 def var_param_sharding_rules(mesh: Mesh):
     """PartitionSpec rules for tensor-parallel VAR params over 'model'.
 
