@@ -93,7 +93,24 @@ def main():
     log(f"VAR params: {var_mod.param_count(var_params)/1e6:.2f}M, "
         f"VAE params: {var_mod.param_count(vae_params)/1e6:.2f}M")
 
+    # ---------------- resume metadata (before data: the sampler needs
+    # (start_ep, start_it) to reproduce the uninterrupted batch sequence,
+    # reference train.py:57-60 + data_sampler.py:55) ----------------
+    start_ep, start_it, best_val_lt = 0, 0, 1e9
+    # local_debug is a fresh 2-step smoke; never resume it from leftovers
+    resume_path, meta = ((None, {}) if args.local_debug
+                         else ckpt.auto_resume(args.local_out_dir_path))
+    if resume_path:
+        start_ep = int(meta.get("epoch", 0))
+        start_it = int(meta.get("iter", 0))
+        best_val_lt = float(meta.get("best_val_lt", 1e9))
+        log(f"auto-resuming from {resume_path} at ep{start_ep} it{start_it}")
+
     # ---------------- data ----------------
+    # Multi-host: each process loads ONLY its contiguous rank slice
+    # (reference utils/data_sampler.py:100-103) and contributes it to the
+    # globally-sharded batch below.
+    nproc, proc = jax.process_count(), jax.process_index()
     if args.local_debug:
         iters_train = 2
         reso = args.patch_nums[-1] * vae_cfg.downsample
@@ -118,9 +135,10 @@ def main():
         val_ds = FolderDataset(os.path.join(args.data_path, "val"))
         log(f"dataset: {len(train_ds)} train, {len(val_ds)} val images")
         sampler = DistInfiniteBatchSampler(
-            world_size=1, rank=0, dataset_len=len(train_ds),
+            world_size=nproc, rank=proc, dataset_len=len(train_ds),
             glb_batch_size=args.batch_size * ndev, fill_last=True, shuffle=True,
             same_seed_for_all_ranks=args.seed or 0,
+            start_ep=start_ep, start_it=start_it,
         )
         iters_train = len(sampler)
         from var_tpu.data.native_loader import available as native_available
@@ -135,16 +153,19 @@ def main():
         train_iter = iter(DataLoader(
             train_ds, iter(sampler), make_transform(args.data_load_reso, args.mid_reso,
                                                     train=True, hflip=args.hflip),
-            # rank-offset augmentation seed (arg_util.seed_everything rule)
+            # rank-offset augmentation seed (arg_util.seed_everything rule,
+            # reference arg_util.py:113-127)
             num_threads=args.workers or 16,
-            seed=(args.seed or 0) * jax.process_count() + jax.process_index(),
+            seed=(args.seed or 0) * nproc + proc,
             batch_transform=batch_tf,
         ))
 
         def val_iter():
-            idxs = list(eval_split_indices(len(val_ds), 1, 0))
-            batches = [idxs[i:i + args.batch_size * ndev]
-                       for i in range(0, len(idxs), args.batch_size * ndev)]
+            # contiguous no-pad per-process split (EvalDistributedSampler,
+            # reference data_sampler.py:6-17); nproc==1 degenerates to full set
+            idxs = list(eval_split_indices(len(val_ds), nproc, proc))
+            vbs = max(1, args.batch_size * ndev // nproc)
+            batches = [idxs[i:i + vbs] for i in range(0, len(idxs), vbs)]
             return iter(DataLoader(
                 val_ds, iter(batches),
                 make_transform(args.data_load_reso, args.mid_reso, train=False),
@@ -164,20 +185,27 @@ def main():
 
     eval_step = tr.make_eval_step(var_cfg, vae_cfg, dtype=dtype)
     state = init_state(var_params)
-
-    start_ep, start_it, best_val_lt = 0, 0, 1e9
-    resume_path, meta = ckpt.auto_resume(args.local_out_dir_path)
     if resume_path:
         state = ckpt.load_checkpoint(resume_path, state)
-        start_ep = int(meta.get("epoch", 0))
-        start_it = int(meta.get("iter", 0))
-        best_val_lt = float(meta.get("best_val_lt", 1e9))
-        log(f"auto-resumed from {resume_path} at ep{start_ep} it{start_it}")
+        log(f"restored checkpoint state from {resume_path}")
 
     state = jax.device_put(state, pm.replicated(mesh))
     vae_params = jax.device_put(vae_params, pm.replicated(mesh))
     batch_sharding = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(None, pm.DATA_AXIS))
+
+    def put_batch(sharding, local, glb_rows):
+        """Assemble a globally-sharded batch from per-process local rows.
+
+        Single process: plain device_put. Multi-host: every process holds
+        its contiguous (ac, glb/nproc, ...) slice; build the global jax.Array
+        from process-local shards (the JAX equivalent of the reference's
+        per-rank DataLoader + DDP, train.py:102 / data_sampler.py:100-103).
+        """
+        if nproc == 1:
+            return jax.device_put(local, sharding)
+        glb_shape = (local.shape[0], glb_rows) + local.shape[2:]
+        return jax.make_array_from_process_local_data(sharding, local, glb_shape)
 
     tb = TensorboardLogger(args.tb_log_dir_path)
     from var_tpu.utils.logging import ProfilerHooks
@@ -212,8 +240,9 @@ def main():
                 imgs, labels = next(train_iter)
                 micro_imgs.append(imgs)
                 micro_labels.append(labels)
-            imgs = jax.device_put(np.stack(micro_imgs), batch_sharding)
-            labels = jax.device_put(np.stack(micro_labels), batch_sharding)
+            glb_rows = args.batch_size * ndev
+            imgs = put_batch(batch_sharding, np.stack(micro_imgs), glb_rows)
+            labels = put_batch(batch_sharding, np.stack(micro_labels), glb_rows)
             data_t = time.time() - t_data
 
             prog_si = prog_si_at(g_it)
@@ -229,7 +258,10 @@ def main():
                 prog_wp = 1.0
 
             profiler.maybe_toggle(opt_it)
-            rng, r_step = jax.random.split(rng)
+            # restart-invariant per-step randomness: resume at step k uses
+            # the same key the uninterrupted run would (vs a sequential
+            # split chain, which desyncs after resume)
+            r_step = jax.random.fold_in(rng, g_it)
             state, m = step_for(prog_si)(
                 state, vae_params, imgs, labels, r_step,
                 jnp.int32(g_it), jnp.float32(prog_wp),
@@ -253,20 +285,42 @@ def main():
                 per.update({f"L_{args.resos[si]}": float(l)
                             for si, l in enumerate(np.asarray(m.per_scale_L)) if np.isfinite(l)})
                 tb.update(head="AR_iter_loss", z_voc_usage=usage, step=g_it, **per)
+            if args.ckpt_iters and (opt_it + 1) % args.ckpt_iters == 0 \
+                    and (opt_it + 1) < opt_steps_per_ep:
+                # mid-epoch checkpoint with the TRUE iteration so resume
+                # replays the exact uninterrupted batch sequence
+                # (reference train.py:57-60 + data_sampler.py:55)
+                ckpt.save_checkpoint(
+                    args.last_ckpt_path, state,
+                    dict(epoch=ep, iter=(opt_it + 1) * args.ac,
+                         best_val_lt=best_val_lt, args=args.state_dict()))
+                log(f"[ep {ep} it {(opt_it + 1) * args.ac}] mid-epoch checkpoint saved")
 
         # ---- eval + checkpoint every 10 ep and at the end (train.py:208-231)
         if (ep + 1) % args.val_freq_ep == 0 or (ep + 1) == args.ep:
             if val_iter is not None:
                 stats = np.zeros(5, np.float64)
-                for imgs, labels in val_iter():
-                    if imgs.shape[0] % ndev == 0:
-                        imgs = jax.device_put(imgs, jax.sharding.NamedSharding(
-                            mesh, jax.sharding.PartitionSpec(pm.DATA_AXIS)))
-                    else:  # ragged final batch: replicate instead of shard
-                        imgs = jax.device_put(imgs, pm.replicated(mesh))
-                    stats += np.asarray(eval_step(state.params, vae_params, imgs,
-                                                  jnp.asarray(labels)), np.float64)
-                if jax.process_count() > 1:  # reference dist.allreduce (trainer.py:80)
+                if nproc == 1:
+                    for imgs, labels in val_iter():
+                        if imgs.shape[0] % ndev == 0:
+                            imgs = jax.device_put(imgs, jax.sharding.NamedSharding(
+                                mesh, jax.sharding.PartitionSpec(pm.DATA_AXIS)))
+                        else:  # ragged final batch: replicate instead of shard
+                            imgs = jax.device_put(imgs, pm.replicated(mesh))
+                        stats += np.asarray(eval_step(state.params, vae_params, imgs,
+                                                      jnp.asarray(labels)), np.float64)
+                else:
+                    # rank-local eval over each process's contiguous split +
+                    # allreduce, exactly the reference eval_ep shape
+                    # (trainer.py:54-84). Params are DP-replicated so each
+                    # process can pull a full local copy.
+                    local_params = jax.device_get(state.params)
+                    local_vae = jax.device_get(vae_params)
+                    for imgs, labels in val_iter():
+                        stats += np.asarray(eval_step(local_params, local_vae, imgs,
+                                                      jnp.asarray(labels)), np.float64)
+                    del local_params, local_vae
+                if nproc > 1:  # reference dist.allreduce (trainer.py:80)
                     from jax.experimental import multihost_utils
 
                     stats = np.asarray(

@@ -167,6 +167,7 @@ class TrainArgs:
     last_ckpt_path: str = ""
     local_debug: bool = False
     val_freq_ep: int = 10
+    ckpt_iters: int = 0  # mid-epoch ckpt every N optimizer steps (0 = off)
 
     def finalize(self, world_size: int = 1) -> "TrainArgs":
         """Derive dependent fields (mirrors ``arg_util.py:207-284``)."""

@@ -23,28 +23,50 @@ def _ckptr() -> ocp.Checkpointer:
 
 
 def save_checkpoint(path: str, state: Any, meta: Optional[dict] = None) -> None:
-    """Write a checkpoint directory at ``path`` (overwrites)."""
+    """Write a checkpoint directory at ``path`` (overwrites).
+
+    Multi-host: every process must call this (orbax coordinates the
+    distributed array write); filesystem renames and the meta sidecar are
+    master-only, fenced by barriers (reference: local-master torch.save +
+    barrier, train.py:218-231).
+    """
+    import jax
+
     path = os.path.abspath(path)
+    master = jax.process_index() == 0
+
+    def _barrier(tag):
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_{tag}_{os.path.basename(path)}")
+
     if os.path.exists(path):
         # orbax refuses to overwrite; stage to tmp then swap like the
         # reference's atomic-ish last-ckpt replacement (train.py:222-227)
         import shutil
 
         tmp = path + ".tmp_new"
-        if os.path.exists(tmp):
+        if master and os.path.exists(tmp):
             shutil.rmtree(tmp)
+        _barrier("pre")
         _ckptr().save(tmp, state)
-        old = path + ".tmp_old"
-        if os.path.exists(old):
+        _barrier("saved")
+        if master:
+            old = path + ".tmp_old"
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.rename(path, old)
+            os.rename(tmp, path)
             shutil.rmtree(old)
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
+        _barrier("swapped")
     else:
         _ckptr().save(path, state)
-    if meta is not None:
+        _barrier("saved_new")
+    if meta is not None and master:
         with open(path + ".meta.json", "w") as f:
             json.dump(meta, f, default=str)
+    _barrier("meta")
 
 
 def load_checkpoint(path: str, target: Any) -> Any:

@@ -27,11 +27,22 @@ MODEL_AXIS = "model"
 
 def initialize_distributed() -> None:
     """Multi-host init (reference ``dist.initialize``, dist.py:20-49).
-    No-op for single-process runs — mirrors the reference's graceful
-    single-process fallback (dist.py:25-29)."""
+
+    Explicit localhost/manual clusters: set ``JAX_COORDINATOR_ADDRESS`` +
+    ``JAX_NUM_PROCESSES`` + ``JAX_PROCESS_ID`` (the torchrun RANK/WORLD_SIZE
+    analogue). Managed clusters (GKE/SLURM): set ``COORDINATOR_ADDRESS`` and
+    jax auto-detects. No-op for single-process runs — mirrors the
+    reference's graceful single-process fallback (dist.py:25-29)."""
     import os
 
-    if "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ:
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if coord and nproc is not None and pid is not None:
+        jax.distributed.initialize(coordinator_address=coord,
+                                   num_processes=int(nproc),
+                                   process_id=int(pid))
+    elif coord or "COORDINATOR_ADDRESS" in os.environ:
         jax.distributed.initialize()
 
 
