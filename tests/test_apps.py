@@ -52,6 +52,7 @@ def test_masks():
     assert em[0, 0] == 1.0 and em[1, 1] == 0.0  # center regenerated
 
 
+@pytest.mark.slow
 def test_smooth_sampling_runs_and_respects_neighbors(setup):
     vae_cfg, var_cfg, vae_params, var_params, img, gt = setup
     res = smooth_sampling(var_params, vae_params, var_cfg, vae_cfg, gt, n=8,

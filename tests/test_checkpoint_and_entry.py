@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -43,12 +44,14 @@ def test_auto_resume_empty(tmp_path):
     assert ck.auto_resume(str(tmp_path)) == (None, {})
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8dev():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)  # asserts internally
 
 
+@pytest.mark.slow
 def test_entry_traces():
     import __graft_entry__ as ge
 

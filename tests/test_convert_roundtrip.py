@@ -1,6 +1,7 @@
 """Converter round-trip (jax -> torch names -> jax) and preset configs."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -9,6 +10,7 @@ from var_tpu.engine.convert import convert_var, export_var_to_torch_names
 from var_tpu.models import var as var_mod
 
 
+@pytest.mark.slow
 def test_export_import_roundtrip_list_and_stacked():
     cfg = VARConfig(num_classes=6, depth=3, embed_dim=32, num_heads=2,
                     patch_nums=(1, 2, 3), vocab_size=16, z_channels=8,

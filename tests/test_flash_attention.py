@@ -87,6 +87,7 @@ def test_var_forward_pallas_matches_xla():
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_decode_stage_pallas_matches_xla():
     """Dense (no-mask) kernel over a growing KV cache — the decode case."""
     cfg = VARConfig(num_classes=6, depth=2, embed_dim=32, num_heads=2,

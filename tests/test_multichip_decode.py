@@ -2,6 +2,7 @@
 produces exactly the single-device result (greedy, so no RNG dependence)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -12,6 +13,7 @@ from var_tpu.models import var as var_mod
 from var_tpu.parallel import mesh as pm
 
 
+@pytest.mark.slow
 def test_decode_batch_sharded_matches_single():
     pns = (1, 2, 3)
     vae_cfg = VAEConfig(vocab_size=32, z_channels=8, ch=32, ch_mult=(1, 1),

@@ -1,6 +1,7 @@
 """Stacked/scan block path must match the unrolled path exactly."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -17,6 +18,7 @@ def _setup(shared_aln=False):
     return cfg, params
 
 
+@pytest.mark.slow
 def test_forward_scan_matches_unrolled():
     for shared in (False, True):
         cfg, params = _setup(shared)
@@ -28,6 +30,7 @@ def test_forward_scan_matches_unrolled():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_decode_stage_scan_matches_unrolled():
     cfg, params = _setup()
     stacked = var_mod.stack_block_params(params)
@@ -56,6 +59,7 @@ def test_stack_unstack_roundtrip():
     assert all(np.array_equal(a, b) for a, b in zip(flat_a, flat_b))
 
 
+@pytest.mark.slow
 def test_train_step_with_stacked_params():
     """Training (grad + AdamW + wd mask) works on the stacked layout."""
     from var_tpu.config import TrainArgs, VAEConfig
@@ -81,6 +85,7 @@ def test_train_step_with_stacked_params():
     assert np.isfinite(float(m.loss))
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat():
     """jax.checkpoint path: same logits and same gradients."""
     cfg, params = _setup()

@@ -31,6 +31,7 @@ def tiny_setup(seed=0):
     return vae_cfg, var_cfg, vae_params, var_params
 
 
+@pytest.mark.slow
 def test_two_step_train_smoke():
     """Forward+backward+optimizer for 2 steps on random tensors; loss finite
     and params actually move (reference local_debug, train.py:140-162)."""
@@ -59,6 +60,7 @@ def test_two_step_train_smoke():
     assert m.per_scale_L.shape == (3,)
 
 
+@pytest.mark.slow
 def test_progressive_training_stage():
     """prog_si=1 trains only scales 0..1 (5 tokens) with re-weighted loss."""
     vae_cfg, var_cfg, vae_params, var_params = tiny_setup()
@@ -122,6 +124,7 @@ def test_weight_decay_mask_rules():
     assert blk["ffn"]["fc1"]["bias"] is False and blk["ffn"]["fc1"]["kernel"] is True
 
 
+@pytest.mark.slow
 def test_data_parallel_step_on_mesh():
     """Same loss/update with batch sharded over 8 CPU devices as on 1."""
     from var_tpu.parallel import mesh as pm

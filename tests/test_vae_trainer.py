@@ -1,6 +1,7 @@
 """VQVAE training step: loss decreases, EMA usage tracked."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -9,6 +10,7 @@ from var_tpu.engine.vae_trainer import make_vae_train_step, vocab_usage_percent
 from var_tpu.models import vae as vae_mod
 
 
+@pytest.mark.slow
 def test_vae_train_two_steps():
     cfg = VAEConfig(vocab_size=32, z_channels=8, ch=32, ch_mult=(1, 1),
                     v_patch_nums=(1, 2, 3))
@@ -28,6 +30,7 @@ def test_vae_train_two_steps():
     assert usage.shape == (3,) and (np.asarray(usage) >= 0).all()
 
 
+@pytest.mark.slow
 def test_vae_train_gradients_reach_encoder_and_codebook():
     cfg = VAEConfig(vocab_size=32, z_channels=8, ch=32, ch_mult=(1, 1),
                     v_patch_nums=(1, 2, 3))

@@ -14,6 +14,7 @@ import os
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from var_tpu.config import VAEConfig, VARConfig
@@ -91,3 +92,35 @@ def test_teacher_forced_loss_reasonable():
     logp = jax.nn.log_softmax(logits, axis=-1)
     ce = -jnp.take_along_axis(logp, gt[..., None], axis=-1).mean()
     assert abs(float(ce) - np.log(var_cfg.vocab_size)) < 0.5
+
+
+def test_from_pretrained_dict_hub_constructor():
+    """VARHF-equivalent (reference ``models/var.py:633-653``): hub config
+    dict + bundled state dict -> identical params to the explicit path."""
+    from var_tpu.models import from_pretrained_dict
+
+    data = np.load(FIXTURE)
+    pns = tuple(data["patch_nums"].tolist())
+    vae_sd = {"vae_local." + k[len("vae_sd/"):]: data[k].astype(np.float32)
+              for k in data.files if k.startswith("vae_sd/")}
+    var_sd = {k[len("l2/var_sd/"):]: data[k].astype(np.float32)
+              for k in data.files if k.startswith("l2/var_sd/")}
+    config = dict(
+        vae_kwargs=dict(vocab_size=64, z_channels=8, ch=32, v_patch_nums=pns),
+        num_classes=10, depth=3, embed_dim=64, num_heads=4,
+        drop_path_rate=0.1, attn_l2_norm=True, shared_aln=False,
+        cond_drop_rate=0.0, patch_nums=list(pns),
+    )
+    vae_cfg, var_cfg, vae_params, var_params = from_pretrained_dict(
+        config, {**vae_sd, **var_sd}, stack_blocks=False)
+    assert vae_cfg.vocab_size == 64 and var_cfg.embed_dim == 64
+    assert var_cfg.patch_nums == pns and vae_params is not None
+
+    _, _, _, var_cfg_ref, vae_ref, var_ref = _load("l2")
+    for (ka, va), (kb, vb) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(var_params),
+                   key=lambda kv: jax.tree_util.keystr(kv[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(var_ref),
+                   key=lambda kv: jax.tree_util.keystr(kv[0]))):
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))

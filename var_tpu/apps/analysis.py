@@ -224,8 +224,6 @@ def plot_per_scale_kde(records: List[dict], model_names: Sequence[str],
     axs[0][-1].legend()
     fig.tight_layout()
     fig.savefig(out_path, dpi=120)
-    import matplotlib.pyplot as plt
-
     plt.close(fig)
 
 

@@ -53,7 +53,10 @@ def main(argv=None):
     os.makedirs(args.out_dir, exist_ok=True)
 
     total = args.num_classes * args.per_class
-    assert args.batch % 1 == 0
+    assert args.batch >= 1
+    if total % args.batch:
+        print(f"note: {total} images not divisible by batch {args.batch}; "
+              f"the final short batch will trigger one extra compile")
     i = 0
     rng_i = 0
     labels_all = np.repeat(np.arange(args.num_classes), args.per_class)

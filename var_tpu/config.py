@@ -128,6 +128,7 @@ class TrainArgs:
     alng: float = 1e-5
     # optimization
     fp16: int = 0  # 0: fp32, 1: fp16-like (bf16 on TPU), 2: bf16
+    dscale: int = 0  # with fp16=1: dynamic loss scaling (GradScaler parity)
     tblr: float = 1e-4
     tlr: Optional[float] = None
     twd: float = 0.05

@@ -12,7 +12,6 @@ the whole train step stays one XLA program; the schedule *type* is static.
 from __future__ import annotations
 
 import math
-from typing import Callable, Tuple
 
 import jax.numpy as jnp
 
@@ -56,18 +55,3 @@ def wd_value(cur_it, max_it: float, wd: float, wd_end: float):
     """Half-cosine wd anneal (``lr_control.py:47-48``)."""
     pasd = jnp.asarray(cur_it, jnp.float32) / (max_it - 1)
     return wd_end + (wd - wd_end) * (0.5 + 0.5 * jnp.cos(math.pi * pasd))
-
-
-def make_schedules(args) -> Tuple[Callable, Callable]:
-    """(lr_fn, wd_fn) of the global iteration, from finalized TrainArgs."""
-    iters_per_ep = args.iters_per_ep  # attached by the train loop
-    max_it = args.ep * iters_per_ep
-    wp_it = args.wp * iters_per_ep
-
-    def lr_fn(it):
-        return args.tlr * lr_factor(args.sche, it, wp_it, max_it, args.wp0, args.wpe)
-
-    def wd_fn(it):
-        return wd_value(it, max_it, args.twd, args.twde)
-
-    return lr_fn, wd_fn

@@ -86,6 +86,33 @@ def make_adamw(tclip: float):
     return init, update
 
 
+def make_grad_scaler(init_scale: float = 2.0 ** 11, growth_interval: int = 1000,
+                     max_scale: float = 32768.0, min_scale: float = 1.0):
+    """Dynamic loss scaling with torch-GradScaler semantics for the fp16
+    parity mode (reference ``utils/amp_sc.py:27,56-66``: init 2**11, scale
+    capped at 32768; on non-finite grads the step is skipped and the scale
+    halves, after ``growth_interval`` consecutive finite steps it doubles).
+
+    Returns (init, update): ``update(scaler_state, grads_finite)`` gives the
+    next state. Unnecessary numerically for bf16 on TPU — provided so fp16
+    recipes behave identically."""
+
+    def init():
+        return {"scale": jnp.float32(init_scale), "growth_count": jnp.int32(0)}
+
+    def update(state, grads_finite):
+        grown = state["growth_count"] + 1 >= growth_interval
+        new_scale = jnp.where(
+            grads_finite,
+            jnp.where(grown, jnp.minimum(state["scale"] * 2.0, max_scale), state["scale"]),
+            jnp.maximum(state["scale"] * 0.5, min_scale),
+        )
+        new_count = jnp.where(grads_finite & ~grown, state["growth_count"] + 1, 0)
+        return {"scale": new_scale, "growth_count": new_count}
+
+    return init, update
+
+
 # ---------------------------------------------------------------------------
 # loss & metrics
 
@@ -109,6 +136,7 @@ class StepMetrics(NamedTuple):
     grad_norm: jax.Array
     lr: jax.Array
     wd: jax.Array
+    scale: jax.Array  # dynamic loss scale (1.0 unless fp16 parity mode)
     per_scale_L: jax.Array  # (S,)
     per_scale_acc: jax.Array  # (S,)
     pred_hist: jax.Array  # (V,) argmax histogram -> z_voc_usage
@@ -163,8 +191,12 @@ def make_train_step(
     opt_init, opt_update = make_adamw(args.tclip)
     # fp16=1 in the reference enables a GradScaler whose real protective
     # behaviour is skipping steps with non-finite grads (amp_sc.py:56-66).
-    # bf16 on TPU needs no loss scaling, so we keep only the skip guard.
+    # bf16 on TPU needs no loss scaling, so the default keeps only the skip
+    # guard; --dscale=1 adds full dynamic-scaling parity (loss scaled before
+    # backward, scale halves on overflow / doubles after growth_interval).
     skip_nonfinite = args.fp16 == 1
+    dynamic_scale = bool(getattr(args, "dscale", 0)) and args.fp16 == 1
+    scaler_init, scaler_update = make_grad_scaler()
     max_it = float(args.ep * iters_per_ep)
     wp_it = float(args.wp * iters_per_ep)
     L = var_cfg.seq_len
@@ -189,20 +221,34 @@ def make_train_step(
 
     def step(state: TrainState, vae_params, imgs, labels, rng, g_it, prog_wp):
         ac = imgs.shape[0]
+        if dynamic_scale:
+            scaler_state = state.opt_state["scaler"]
+            scale = scaler_state["scale"]
+            adamw_state = {k: v for k, v in state.opt_state.items() if k != "scaler"}
+        else:
+            scale = jnp.float32(1.0)
+            adamw_state = state.opt_state
+
+        def grad_fn(p, img, label, r):
+            # loss scaled BEFORE backward (amp_sc.py:43 parity); grads are
+            # unscaled afterwards, so downstream clip/step sees true grads
+            def scaled(p_):
+                loss, aux = loss_fn(p_, vae_params, img, label, r, prog_wp)
+                return loss * scale, aux
+
+            (loss_s, aux), grads_s = jax.value_and_grad(scaled, has_aux=True)(p)
+            return loss_s / scale, aux, grads_s
 
         if ac == 1:  # no accumulation: skip the scan (avoids nested scans)
-            (loss, (logits_m, gt_m)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, vae_params, imgs[0], labels[0], rng, prog_wp
-            )
+            loss, (logits_m, gt_m), grads = grad_fn(
+                state.params, imgs[0], labels[0], rng)
             logits, gt_bl = logits_m[None], gt_m[None]
         else:
 
             def micro(carry, xs):
                 grads_acc, loss_acc = carry
                 img, label, r = xs
-                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                    state.params, vae_params, img, label, r, prog_wp
-                )
+                loss, aux, grads = grad_fn(state.params, img, label, r)
                 grads_acc = jax.tree.map(lambda a, g: a + g / ac, grads_acc, grads)
                 return (grads_acc, loss_acc + loss / ac), aux
 
@@ -211,21 +257,29 @@ def make_train_step(
             (grads, loss), (logits, gt_bl) = jax.lax.scan(
                 micro, (zero, jnp.float32(0.0)), (imgs, labels, rngs)
             )
+        if dynamic_scale:  # unscale accumulated grads (GradScaler.unscale_)
+            grads = jax.tree.map(lambda g: g / scale, grads)
         lr = args.tlr * lr_factor(args.sche, g_it, wp_it, max_it, args.wp0, args.wpe)
         wd = wd_value(g_it, max_it, args.twd, args.twde)
-        new_params, new_opt, gnorm = opt_update(grads, state.opt_state, state.params, lr, wd)
+        new_params, new_opt, gnorm = opt_update(grads, adamw_state, state.params, lr, wd)
         if skip_nonfinite:
             finite = jnp.isfinite(gnorm)
             new_params = jax.tree.map(
                 lambda new, old: jnp.where(finite, new, old), new_params, state.params)
             new_opt = jax.tree.map(
-                lambda new, old: jnp.where(finite, new, old), new_opt, state.opt_state)
+                lambda new, old: jnp.where(finite, new, old), new_opt, adamw_state)
+        if dynamic_scale:
+            # the scaler state is NOT skip-guarded: overflow must halve it
+            new_opt = dict(new_opt, scaler=scaler_update(scaler_state, jnp.isfinite(gnorm)))
         m = _metrics_from_logits(logits[-1], gt_bl[-1], var_cfg, prog_si)
-        metrics = StepMetrics(loss=loss, grad_norm=gnorm, lr=lr, wd=wd, **m)
+        metrics = StepMetrics(loss=loss, grad_norm=gnorm, lr=lr, wd=wd, scale=scale, **m)
         return TrainState(new_params, new_opt, state.step + 1), metrics
 
     def init_state(params) -> TrainState:
-        return TrainState(params, opt_init(params), jnp.int32(0))
+        opt_state = opt_init(params)
+        if dynamic_scale:
+            opt_state = dict(opt_state, scaler=scaler_init())
+        return TrainState(params, opt_state, jnp.int32(0))
 
     return init_state, jax.jit(step)
 

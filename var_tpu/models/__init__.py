@@ -83,3 +83,61 @@ def build_vae_var(
         with init_ctx:
             var_params = var.stack_block_params(var_params)
     return vae_cfg, var_cfg, vae_params, var_params
+
+
+def from_pretrained_dict(config: dict, state_dict, stack_blocks: bool = True):
+    """Build configs + params from a hub-style config dict and state dict —
+    the ``VARHF(PyTorchModelHubMixin)`` equivalent (reference
+    ``models/var.py:633-653``): config keys are the VARHF ctor kwargs
+    (``depth, embed_dim, num_heads, shared_aln, attn_l2_norm, patch_nums,
+    num_classes, ...`` plus nested ``vae_kwargs``), the state dict holds
+    torch tensors/arrays, with VQVAE weights under ``vae_local.`` when the
+    checkpoint bundles the tokenizer.
+
+    Returns (vae_cfg, var_cfg, vae_params_or_None, var_params).
+    """
+    from var_tpu.engine.convert import convert_var, to_numpy_state_dict
+
+    vk = dict(config.get("vae_kwargs") or {})
+    patch_nums = tuple(config.get("patch_nums", vk.get("v_patch_nums",
+                                                       (1, 2, 3, 4, 5, 6, 8, 10, 13, 16))))
+    vae_cfg = VAEConfig(
+        vocab_size=vk.get("vocab_size", 4096),
+        z_channels=vk.get("z_channels", 32),
+        ch=vk.get("ch", 160),
+        share_quant_resi=vk.get("share_quant_resi", 4),
+        using_znorm=vk.get("using_znorm", False),
+        beta=vk.get("beta", 0.25),
+        v_patch_nums=patch_nums,
+    )
+    depth = config.get("depth", 16)
+    var_cfg = VARConfig(
+        num_classes=config.get("num_classes", 1000),
+        depth=depth,
+        embed_dim=config.get("embed_dim", depth * 64),
+        num_heads=config.get("num_heads", depth),
+        mlp_ratio=config.get("mlp_ratio", 4.0),
+        drop_rate=config.get("drop_rate", 0.0),
+        attn_drop_rate=config.get("attn_drop_rate", 0.0),
+        drop_path_rate=config.get("drop_path_rate", 0.0),
+        norm_eps=config.get("norm_eps", 1e-6),
+        shared_aln=config.get("shared_aln", False),
+        cond_drop_rate=config.get("cond_drop_rate", 0.1),
+        attn_l2_norm=config.get("attn_l2_norm", False),
+        patch_nums=patch_nums,
+        vocab_size=vae_cfg.vocab_size,
+        z_channels=vae_cfg.z_channels,
+    )
+    sd = to_numpy_state_dict(state_dict)
+    vae_sd = {k[len("vae_local."):]: v for k, v in sd.items()
+              if k.startswith("vae_local.")}
+    var_sd = {k: v for k, v in sd.items() if not k.startswith("vae_local.")}
+    vae_params = None
+    if vae_sd:
+        from var_tpu.engine.convert import convert_vae
+
+        vae_params = convert_vae(vae_sd, vae_cfg)
+    var_params = convert_var(var_sd, var_cfg)
+    if stack_blocks:
+        var_params = var.stack_block_params(var_params)
+    return vae_cfg, var_cfg, vae_params, var_params

@@ -22,7 +22,7 @@ import json
 import os
 import time
 from collections import deque
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -105,19 +105,18 @@ class SmoothedValue:
     def value(self):
         return self.deque[-1] if self.deque else 0.0
 
-    def time_preds(self, counts: int):
-        remain_secs = counts * self.median
-        return (
-            remain_secs,
-            str(datetime.timedelta(seconds=round(remain_secs))),
-            time.strftime("%Y-%m-%d %H:%M", time.localtime(time.time() + remain_secs)),
-        )
+    def eta(self, n_remaining: int) -> Tuple[str, str]:
+        """("H:MM:SS left", "finishes at YYYY-mm-dd HH:MM") from the
+        windowed median per-item time."""
+        secs = self.median * n_remaining
+        left = str(datetime.timedelta(seconds=int(round(secs))))
+        done_at = datetime.datetime.now() + datetime.timedelta(seconds=secs)
+        return left, done_at.strftime("%Y-%m-%d %H:%M")
 
     def __str__(self):
-        return self.fmt.format(
-            median=self.median, avg=self.avg, global_avg=self.global_avg,
-            value=self.value, max=max(self.deque) if self.deque else 0.0,
-        )
+        stats = dict(median=self.median, avg=self.avg, global_avg=self.global_avg,
+                     value=self.value, max=max(self.deque, default=0.0))
+        return self.fmt.format(**stats)
 
 
 class MetricLogger:
@@ -151,7 +150,7 @@ class MetricLogger:
             yield i, obj
             self.iter_time.update(time.time() - end)
             if total and i in self.log_iters:
-                remain, remain_str, finish = self.iter_time.time_preds(total - i - 1)
+                remain_str, finish = self.iter_time.eta(total - i - 1)
                 log(
                     f"{header} [{i:4d}/{total}] {self} "
                     f"iter: {self.iter_time} data: {self.data_time} ETA {remain_str} ({finish})",
