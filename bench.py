@@ -5,12 +5,15 @@ the VQVAE decoder — the reference's ``demo_sample.py`` hot path) in
 images/sec on one chip, bf16.
 
 The reference publishes no absolute throughput (BASELINE.md: "published: {}"),
-so ``vs_baseline`` is computed against BASELINE_IMGS_PER_SEC, our documented
-estimate of the reference implementation on an H100-class GPU (fp16,
-flash-attn, batch 64). Update when a measured reference number exists.
+so ``vs_baseline`` is computed against BASELINE_IMGS_PER_SEC — the reference
+implementation's estimated H100 throughput hardware-normalized to one v5e
+chip (full derivation in BASELINE.md). Update when a measured number exists.
 
-Usage: python bench.py [--smoke] [--batch N] [--iters N]
+Usage: python bench.py [--smoke] [--batch N] [--iters N] [--train]
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``--train`` benches the d16 training step (tokenize+fwd+bwd+AdamW) instead
+of CFG sampling; its baseline is the same derivation applied to the
+reference's training path (3x forward FLOPs, no CFG/VQVAE-decode).
 """
 
 from __future__ import annotations
@@ -19,7 +22,59 @@ import json
 import sys
 import time
 
-BASELINE_IMGS_PER_SEC = 40.0  # estimated reference d16 on H100-class, fp16, bs64
+BASELINE_IMGS_PER_SEC = 40.0  # reference d16 H100 estimate, normalized to v5e peak (BASELINE.md)
+TRAIN_BASELINE_IMGS_PER_SEC = 40.0  # same derivation on the training path (~1.5 TFLOP/img, ~30% MFU)
+
+
+def bench_train(batch: int, iters: int, smoke: bool = False):
+    """d16 training-step throughput (frozen-VAE tokenize + fwd + bwd + AdamW)."""
+    import jax
+    import jax.numpy as jnp
+
+    from var_tpu.config import TrainArgs, VAEConfig, VARConfig
+    from var_tpu.engine import trainer as tr
+    from var_tpu.models import vae as vae_mod
+    from var_tpu.models import var as var_mod
+
+    if smoke:
+        pns = (1, 2, 3)
+        vae_cfg = VAEConfig(vocab_size=64, z_channels=8, ch=32, ch_mult=(1, 1),
+                            v_patch_nums=pns)
+        var_cfg = VARConfig(num_classes=10, depth=2, embed_dim=64, num_heads=4,
+                            patch_nums=pns, vocab_size=64, z_channels=8,
+                            attn_l2_norm=True)
+        args = TrainArgs(depth=2, bs=batch, ac=1, ep=2, pn="1_2_3").finalize(world_size=1)
+    else:
+        vae_cfg = VAEConfig()
+        var_cfg = VARConfig.from_depth(16, attn_l2_norm=True)
+        args = TrainArgs(depth=16, bs=batch, ac=1, ep=200, fp16=1).finalize(world_size=1)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    vae_params = vae_mod.init_vae_params(k1, vae_cfg)
+    var_params = var_mod.stack_block_params(var_mod.init_var_params(k2, var_cfg))
+    init_state, step = tr.make_train_step(var_cfg, vae_cfg, args, iters_per_ep=1000,
+                                          dtype=jnp.float32 if smoke else jnp.bfloat16)
+    state = init_state(var_params)
+    reso = var_cfg.patch_nums[-1] * vae_cfg.downsample
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (1, batch, reso, reso, 3),
+                              jnp.float32) * 2 - 1
+    labels = (jnp.arange(batch) % var_cfg.num_classes).reshape(1, batch).astype(jnp.int32)
+
+    state, _ = step(state, vae_params, imgs, labels, jax.random.PRNGKey(2),
+                    jnp.int32(0), jnp.float32(1.0))
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, _ = step(state, vae_params, imgs, labels, jax.random.PRNGKey(3 + i),
+                        jnp.int32(i), jnp.float32(1.0))
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    imgs_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "smoke_train_step_throughput" if smoke else "var_d16_train_step_throughput",
+        "value": round(imgs_per_sec, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / TRAIN_BASELINE_IMGS_PER_SEC, 3),
+    }))
 
 
 def main():
@@ -46,6 +101,11 @@ def main():
 
     if smoke:
         jax.config.update("jax_platforms", "cpu")
+
+    if "--train" in sys.argv:
+        bench_train(batch=arg("--batch", 4 if smoke else 32),
+                    iters=arg("--iters", 2 if smoke else 5), smoke=smoke)
+        return
 
     from var_tpu.config import VAEConfig, VARConfig
     from var_tpu.engine.sampler import make_sampler

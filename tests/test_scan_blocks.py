@@ -47,7 +47,8 @@ def test_decode_stage_scan_matches_unrolled():
     xa2, ca = var_mod.transformer_stage(params, cfg, x1, ctx, ca, dtype=jnp.float32)
     xb2, cb = var_mod.transformer_stage(stacked, cfg, x1, ctx, cb, dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(xa2), np.asarray(xb2), rtol=1e-5, atol=1e-5)
-    assert ca[0].shape == (cfg.depth, 4, 5, cfg.num_heads, cfg.head_dim)
+    # heads stay merged in cache storage (TPU 128-lane tile padding)
+    assert ca[0].shape == (cfg.depth, 4, 5, cfg.embed_dim)
 
 
 def test_stack_unstack_roundtrip():

@@ -98,11 +98,47 @@ def downsample2x(p: dict, x: jax.Array) -> jax.Array:
     return conv2d(p["conv"], x, stride=2, padding="VALID")
 
 
-def upsample2x(p: dict, x: jax.Array) -> jax.Array:
-    """Nearest 2x + 3x3 conv (``basic_vae.py:22-28``)."""
-    b, h, w, c = x.shape
+def upsample2x_repeat(p: dict, x: jax.Array) -> jax.Array:
+    """Nearest 2x + 3x3 conv, literal formulation (``basic_vae.py:22-28``).
+
+    Kept as the reference oracle for :func:`upsample2x`'s equivalence test;
+    the shipping path below computes the same function without materializing
+    the 4x-sized intermediate."""
     x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
     return conv2d(p["conv"], x)
+
+
+def upsample2x(p: dict, x: jax.Array) -> jax.Array:
+    """Nearest 2x + 3x3 conv (``basic_vae.py:22-28``), computed as four
+    phase-specific 2x2 convs on the LOW-res input + depth-to-space.
+
+    Because nearest upsampling duplicates each pixel 2x2, every output
+    pixel's 3x3 window covers only a 2x2 low-res neighborhood, with the
+    duplicated kernel taps summed: for output parity di (row phase),
+    tap weights collapse to [k0, k1+k2] (di=0, support rows i-1..i) or
+    [k0+k1, k2] (di=1, support rows i..i+1); same along columns. This is
+    exact math, 36 -> 16 MACs/output (2.25x fewer FLOPs), and skips the
+    4x-sized nearest-upsampled tensor entirely — the decoder's upsample
+    levels run at 128-256px where HBM traffic dominates."""
+    b, h, w, c = x.shape
+    dtype = x.dtype
+    k = p["conv"]["kernel"].astype(dtype)  # (3, 3, Cin, Cout)
+    rows = (jnp.stack([k[0], k[1] + k[2]]),          # di=0: rows i-1, i
+            jnp.stack([k[0] + k[1], k[2]]))          # di=1: rows i, i+1
+    phases = []
+    for di in (0, 1):
+        r = rows[di]
+        cols = (jnp.stack([r[:, 0], r[:, 1] + r[:, 2]], axis=1),   # dj=0
+                jnp.stack([r[:, 0] + r[:, 1], r[:, 2]], axis=1))   # dj=1
+        for dj in (0, 1):
+            y = jax.lax.conv_general_dilated(
+                x, cols[dj], window_strides=(1, 1),
+                padding=((1 - di, di), (1 - dj, dj)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            phases.append(y)
+    y = jnp.stack(phases).reshape(2, 2, b, h, w, -1)
+    y = y.transpose(2, 3, 0, 4, 1, 5).reshape(b, 2 * h, 2 * w, -1)
+    return y + p["conv"]["bias"].astype(dtype)
 
 
 # ---------------------------------------------------------------------------

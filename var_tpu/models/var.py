@@ -202,10 +202,17 @@ def attn_apply(
     """Self-attention with fused QKV, zero k-bias, optional QK L2-norm and
     KV-cache append (``basic_var.py:90-119``).
 
-    ``cache_kv``: previous (k, v) each (B, Lprev, H, D) or (None, None) at
+    ``cache_kv``: previous (k, v) each (B, Lprev, C) or (None, None) at
     the first decode stage. Returns (out, (k_new, v_new)) — the *new* slices
-    only; the caller owns cache accumulation (so both the unrolled and the
-    lax.scan block paths share this function)."""
+    only, also (B, L, C); the caller owns cache accumulation (so both the
+    unrolled and the lax.scan block paths share this function).
+
+    Caches store heads MERGED into the embed dim (C = H*D minormost): TPU
+    tiles the last dim to 128 lanes, so a (…, H, 64) cache layout would pad
+    head_dim 64 -> 128 and double KV HBM (measured: bs96 decode OOM at
+    19.9G, 1.5x padding expansion on every cache buffer). The split to
+    (B, L, H, D) happens only at the attention dot, where XLA repacks
+    operands for the MXU anyway."""
     b, l, c = x.shape
     h, d = cfg.num_heads, cfg.head_dim
     dtype = x.dtype
@@ -224,10 +231,11 @@ def attn_apply(
     new_kv = None
     k_att, v_att = k, v
     if cache_kv is not None:
-        new_kv = (k, v)
+        new_kv = (k.reshape(b, l, c), v.reshape(b, l, c))
         if cache_kv[0] is not None:
-            k_att = jnp.concatenate([cache_kv[0], k], axis=1)
-            v_att = jnp.concatenate([cache_kv[1], v], axis=1)
+            lk = cache_kv[0].shape[1] + l
+            k_att = jnp.concatenate([cache_kv[0], new_kv[0]], axis=1).reshape(b, lk, h, d)
+            v_att = jnp.concatenate([cache_kv[1], new_kv[1]], axis=1).reshape(b, lk, h, d)
     out = attention(q, k_att, v_att, scale, bias=bias, impl=impl, scale_ends=scale_ends).reshape(b, l, c)
     return _linear(ap["proj"], out), new_kv
 
@@ -440,9 +448,11 @@ def unstack_block_params(params: dict, depth: int) -> dict:
 
 
 def init_caches(cfg: VARConfig, batch: int, dtype=jnp.bfloat16) -> Tuple[jax.Array, jax.Array]:
-    """Empty stacked KV caches: (depth, B, 0, H, Dh) x2 — stage steps append
-    along the length axis; shapes stay static per decode stage."""
-    shape = (cfg.depth, batch, 0, cfg.num_heads, cfg.head_dim)
+    """Empty stacked KV caches: (depth, B, 0, C) x2 — stage steps append
+    along the length axis; shapes stay static per decode stage. Heads stay
+    merged in storage (see :func:`attn_apply`: a head-split layout pads
+    head_dim to the 128-lane tile and doubles cache HBM)."""
+    shape = (cfg.depth, batch, 0, cfg.embed_dim)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
@@ -457,8 +467,8 @@ def transformer_stage(
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Run all blocks over one scale's token map with KV caching
     (``var.py:166-169``). ``caches`` = stacked (K, V) of shape
-    (depth, B, Lprev, H, Dh); pass None to start. Returns hidden states (not
-    logits) and the grown caches."""
+    (depth, B, Lprev, C) — heads merged, see :func:`init_caches`; pass None
+    to start. Returns hidden states (not logits) and the grown caches."""
     x = x.astype(dtype)
     if caches is None:
         caches = init_caches(cfg, x.shape[0], dtype)
