@@ -19,6 +19,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402  (sitecustomize has already registered the plugin)
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: most suite wall-time is CPU XLA compiles of the
+# tiny-config train/decode graphs; warm re-runs skip them entirely
+jax.config.update("jax_compilation_cache_dir", "/tmp/var_tpu_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -104,3 +104,22 @@ def test_decode_stage_pallas_matches_xla():
         xb, cb = var_mod.transformer_stage(params, cfg, x, ctx, cb,
                                            dtype=jnp.float32, attn_impl="pallas")
         np.testing.assert_allclose(np.asarray(xb), np.asarray(xa), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_modulated_layernorm_matches_xla():
+    """Pallas fused LN+AdaLN (decode path) == the XLA _ln formulation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from var_tpu.ops.pallas.fused_ln import modulated_layernorm
+    from var_tpu.models.var import _ln
+
+    for (b, l, c) in [(4, 9, 256), (2, 169, 512), (2, 1, 128)]:
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(l), 3)
+        x = jax.random.normal(k1, (b, l, c), jnp.float32) * 3
+        s = jax.random.normal(k2, (b, c), jnp.float32)
+        sh = jax.random.normal(k3, (b, c), jnp.float32)
+        want = _ln(x, 1e-6) * (s[:, None] + 1.0) + sh[:, None]
+        got = modulated_layernorm(x, s, sh, eps=1e-6)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-6, atol=2e-6)

@@ -38,7 +38,7 @@ class DecodeResult(NamedTuple):
     f_hat: jax.Array  # (B, h, w, Cvae) final accumulated latent
 
 
-def decode_cfg(
+def decode_tokens_cfg(
     var_params: dict,
     vae_params: dict,
     var_cfg: VARConfig,
@@ -50,31 +50,19 @@ def decode_cfg(
     top_p: float = 0.0,
     more_smooth: bool = False,
     dtype=jnp.bfloat16,
-    attn_impl: str = "xla",
+    attn_impl: str = "auto",
     gt_tokens: Optional[jax.Array] = None,
     keep_mask: Optional[jax.Array] = None,
     edit_mask: Optional[jax.Array] = None,
     kv_window: Optional[int] = None,
-) -> DecodeResult:
-    """Class-conditional CFG decode; with ``gt_tokens``+``keep_mask`` it is
-    token-mask inpainting (kept positions take ground-truth ids and steer all
-    later scales through the shared f_hat, ``var.py:312-328``); with
-    ``gt_tokens``+``edit_mask`` it is the notebook's embedding-space box
-    editing (``demo_zero_shot_edit.ipynb`` cell 2): per scale the spatial
-    (ph, pw) mask is bilinearly downsampled, thresholded at 0.5, and blends
-    ground-truth vs generated codebook embeddings; scales with <= 3 tokens
-    are forced all-ground-truth (``replace_embedding``).
-
-    ``label_b``: (B,) int32 class labels. ``keep_mask``: (B, L) bool, True =
-    keep ground truth. ``edit_mask``: (ph, pw) float, 1 = keep ground truth.
-
-    ``kv_window`` (opt-in, default off = exact reference semantics): at each
-    stage attend only to the KV of the first scale plus the last
-    ``kv_window`` scales — scale-windowed KV pruning in the spirit of the
-    scale-aware KV-compression literature for VAR; trades a small output
-    deviation for less attention work and cache memory at long presets.
-    Returns images in [0, 1].
-    """
+    cache_impl: str = "concat",
+) -> Tuple[jax.Array, jax.Array]:
+    """Transformer half of :func:`decode_cfg` -> (tokens (B, L), f_hat).
+    Split out so the sampler can run the token decode and the VQVAE render
+    as separate XLA programs — sharing one program puts the KV caches and
+    the 256px decoder activations in the same heap and OOMs at bs>=96
+    (f_hat is ~3 MB, so the extra dispatch is free). Argument semantics are
+    documented on :func:`decode_cfg`."""
     b = label_b.shape[0]
     pns = var_cfg.patch_nums
     sn = len(pns)
@@ -82,15 +70,21 @@ def decode_cfg(
 
     labels2 = jnp.concatenate([label_b, jnp.full_like(label_b, var_cfg.num_classes)])
     cond_bd = jnp.take(var_params["class_emb"], labels2, axis=0)  # (2B, C)
-    ctx = var_mod.cond_context(var_params, var_cfg, cond_bd)
+    ctx = var_mod.cond_context(var_params, var_cfg, cond_bd, decode=True)
     lvl_pos = var_mod.lvl_pos_embed(var_params, var_cfg)  # (1, L, C)
 
     sos = cond_bd[:, None, :] + var_params["pos_start"]
     ntm = sos + lvl_pos[:, : var_cfg.first_l]  # (2B, first_l, C)
 
     f_hat = jnp.zeros((b, pns[-1], pns[-1], vae_cfg.z_channels), F32)
-    caches = None  # full (never-pruned) cache
-    attend = None  # what the next stage attends to (== caches unless kv_window)
+    caches = None  # full (never-pruned) cache (kv_window bookkeeping only)
+    # KV cache representation: grow-by-concat measures faster at bs<=64
+    # (XLA picks an L-minor cache layout and a preallocated carry forces
+    # full-buffer layout copies between stages); prealloc exists for
+    # larger-batch experiments (var.init_prealloc_caches)
+    attend = None
+    if kv_window is None and cache_impl == "prealloc":
+        attend = var_mod.init_prealloc_caches(var_cfg, 2 * b, dtype=dtype)
     cur = 0
     token_segs = []
     first_l = var_cfg.first_l
@@ -154,10 +148,64 @@ def decode_cfg(
             ntm = ntm + lvl_pos[:, cur : cur + nseg]
             ntm = jnp.tile(ntm, (2, 1, 1))  # CFG batch doubling (var.py:187)
 
-    # VAE decoder at compute dtype (reference decodes under fp16 autocast)
+    return jnp.concatenate(token_segs, axis=1), f_hat
+
+
+def render_fhat(vae_params: dict, vae_cfg: VAEConfig, f_hat: jax.Array,
+                dtype=jnp.bfloat16) -> jax.Array:
+    """VQVAE render half: f_hat -> images in [0, 1]. Decoder runs at compute
+    dtype (reference decodes under fp16 autocast, ``demo_sample.py:66``)."""
     img = vae_mod.fhat_to_img(vae_params, vae_cfg, f_hat.astype(dtype)).astype(F32)
-    img = img * 0.5 + 0.5
-    return DecodeResult(img, jnp.concatenate(token_segs, axis=1), f_hat)
+    return img * 0.5 + 0.5
+
+
+def decode_cfg(
+    var_params: dict,
+    vae_params: dict,
+    var_cfg: VARConfig,
+    vae_cfg: VAEConfig,
+    rng: jax.Array,
+    label_b: jax.Array,
+    cfg_scale: float = 1.5,
+    top_k: int = 0,
+    top_p: float = 0.0,
+    more_smooth: bool = False,
+    dtype=jnp.bfloat16,
+    attn_impl: str = "auto",
+    gt_tokens: Optional[jax.Array] = None,
+    keep_mask: Optional[jax.Array] = None,
+    edit_mask: Optional[jax.Array] = None,
+    kv_window: Optional[int] = None,
+    cache_impl: str = "concat",
+) -> DecodeResult:
+    """Class-conditional CFG decode; with ``gt_tokens``+``keep_mask`` it is
+    token-mask inpainting (kept positions take ground-truth ids and steer all
+    later scales through the shared f_hat, ``var.py:312-328``); with
+    ``gt_tokens``+``edit_mask`` it is the notebook's embedding-space box
+    editing (``demo_zero_shot_edit.ipynb`` cell 2): per scale the spatial
+    (ph, pw) mask is bilinearly downsampled, thresholded at 0.5, and blends
+    ground-truth vs generated codebook embeddings; scales with <= 3 tokens
+    are forced all-ground-truth (``replace_embedding``).
+
+    ``label_b``: (B,) int32 class labels. ``keep_mask``: (B, L) bool, True =
+    keep ground truth. ``edit_mask``: (ph, pw) float, 1 = keep ground truth.
+
+    ``kv_window`` (opt-in, default off = exact reference semantics): at each
+    stage attend only to the KV of the first scale plus the last
+    ``kv_window`` scales — scale-windowed KV pruning in the spirit of the
+    scale-aware KV-compression literature for VAR; trades a small output
+    deviation for less attention work and cache memory at long presets.
+    Returns images in [0, 1].
+    """
+    tokens, f_hat = decode_tokens_cfg(
+        var_params, vae_params, var_cfg, vae_cfg, rng, label_b,
+        cfg_scale=cfg_scale, top_k=top_k, top_p=top_p, more_smooth=more_smooth,
+        dtype=dtype, attn_impl=attn_impl, gt_tokens=gt_tokens,
+        keep_mask=keep_mask, edit_mask=edit_mask, kv_window=kv_window,
+        cache_impl=cache_impl,
+    )
+    img = render_fhat(vae_params, vae_cfg, f_hat, dtype=dtype)
+    return DecodeResult(img, tokens, f_hat)
 
 
 def make_sampler(
@@ -168,15 +216,21 @@ def make_sampler(
     top_p: float = 0.0,
     more_smooth: bool = False,
     dtype=jnp.bfloat16,
-    attn_impl: str = "xla",
+    attn_impl: str = "auto",
     inpainting: bool = False,
     kv_window: Optional[int] = None,
 ):
-    """jit-compiled sampler: (var_params, vae_params, rng, label_b[, gt, mask])
+    """Compiled sampler: (var_params, vae_params, rng, label_b[, gt, mask])
     -> DecodeResult. Sampling hyper-parameters are compile-time constants
-    (they select the compiled graph, like reference CLI flags)."""
+    (they select the compiled graph, like reference CLI flags).
+
+    Two XLA programs, not one: token decode (KV-cache-heavy) and VQVAE
+    render (activation-heavy) peak on different buffers, and splitting them
+    lets each program use the whole HBM (one ~3 MB f_hat crosses between
+    dispatches — no host sync, JAX queues the second program on the same
+    stream)."""
     fn = partial(
-        decode_cfg,
+        decode_tokens_cfg,
         cfg_scale=cfg_scale,
         top_k=top_k,
         top_p=top_p,
@@ -185,19 +239,35 @@ def make_sampler(
         attn_impl=attn_impl,
         kv_window=kv_window,
     )
+    render = jax.jit(
+        lambda vae_params, f_hat: render_fhat(vae_params, vae_cfg, f_hat, dtype=dtype)
+    )
 
     if inpainting:
-        return jax.jit(
+        tok = jax.jit(
             lambda var_params, vae_params, rng, label_b, gt, mask: fn(
                 var_params, vae_params, var_cfg, vae_cfg, rng, label_b,
                 gt_tokens=gt, keep_mask=mask,
             )
         )
-    return jax.jit(
+
+        def sampler(var_params, vae_params, rng, label_b, gt, mask):
+            tokens, f_hat = tok(var_params, vae_params, rng, label_b, gt, mask)
+            return DecodeResult(render(vae_params, f_hat), tokens, f_hat)
+
+        return sampler
+
+    tok = jax.jit(
         lambda var_params, vae_params, rng, label_b: fn(
             var_params, vae_params, var_cfg, vae_cfg, rng, label_b
         )
     )
+
+    def sampler(var_params, vae_params, rng, label_b):
+        tokens, f_hat = tok(var_params, vae_params, rng, label_b)
+        return DecodeResult(render(vae_params, f_hat), tokens, f_hat)
+
+    return sampler
 
 
 # ---------------------------------------------------------------------------
@@ -235,7 +305,7 @@ def smooth_sampling(
     cfg_scale: float = 1.5,
     neighbor_threshold: Optional[float] = None,
     dtype=jnp.bfloat16,
-    attn_impl: str = "xla",
+    attn_impl: str = "auto",
 ) -> SmoothResult:
     """Regenerate an image constrained to codebook-space neighbors of the
     ground-truth tokens (reference ``VAR.smooth_sampling``).
@@ -254,12 +324,12 @@ def smooth_sampling(
 
     labels2 = jnp.concatenate([label_b, jnp.full_like(label_b, var_cfg.num_classes)])
     cond_bd = jnp.take(var_params["class_emb"], labels2, axis=0)
-    ctx = var_mod.cond_context(var_params, var_cfg, cond_bd)
+    ctx = var_mod.cond_context(var_params, var_cfg, cond_bd, decode=True)
     lvl_pos = var_mod.lvl_pos_embed(var_params, var_cfg)
     ntm = cond_bd[:, None, :] + var_params["pos_start"] + lvl_pos[:, : var_cfg.first_l]
 
     f_hat = jnp.zeros((b, pns[-1], pns[-1], vae_cfg.z_channels), F32)
-    caches = None
+    caches = var_mod.init_prealloc_caches(var_cfg, 2 * b, dtype=dtype)
     cur = 0
     sum_ll = jnp.float32(0.0)
     sum_dll = jnp.float32(0.0)

@@ -185,6 +185,8 @@ def _adaln6(blk: dict, cfg: VARConfig, cond_ctx) -> jax.Array:
     kind, val = cond_ctx
     if kind == "shared":  # val: (B, 1, 6, C) from shared_ada_lin (var.py:15-18)
         return blk["ada_gss"].astype(F32) + val
+    if kind == "precomp":  # val: this block's (B, 1, 6, C), hoisted by the caller
+        return val
     # val: (B, D) raw class embedding
     h = jax.nn.silu(val.astype(F32))
     return _linear(blk["ada_lin"], h).reshape(-1, 1, 6, cfg.embed_dim)
@@ -219,24 +221,67 @@ def attn_apply(
     qkv_bias = jnp.concatenate(
         [ap["q_bias"], jnp.zeros_like(ap["q_bias"]), ap["v_bias"]]
     ).astype(dtype)
-    qkv = (x @ ap["qkv"]["kernel"].astype(dtype) + qkv_bias).reshape(b, l, 3, h, d)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    # keep q/k/v MERGED (B, L, C): the (B, L, 3, H, D) reshape drags every
+    # downstream op into padded head-split layouts (profiled: ~2 ms/block of
+    # f32 copies+broadcasts in decode); lane-range slices of the 3C output
+    # are layout-clean
+    qkv = x @ ap["qkv"]["kernel"].astype(dtype) + qkv_bias  # (B, L, 3C)
+    qm, km, vm = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
     if cfg.attn_l2_norm:
         scale = 1.0
-        scale_mul = jnp.exp(jnp.minimum(ap["scale_mul"].astype(F32), math.log(100.0)))
-        q = (_l2norm(q) * scale_mul).astype(dtype)
-        k = _l2norm(k).astype(dtype)
+        scale_mul = jnp.exp(jnp.minimum(ap["scale_mul"].astype(F32),
+                                        math.log(100.0))).reshape(h)
+        # per-head L2 norm via two block-diagonal matmuls on merged lanes:
+        # sumsq_h = x^2 @ seg (C x H); inv broadcast back via seg^T. Exactly
+        # _l2norm per head, but no 4-D fp32 intermediates or lane-64 layouts.
+        seg = jnp.asarray(np.kron(np.eye(h, dtype=np.float32),
+                                  np.ones((d, 1), np.float32)))  # (C, H)
+        qf = qm.astype(F32)
+        kf = km.astype(F32)
+        inv_q = jax.lax.rsqrt(jnp.square(qf) @ seg + 1e-24) * scale_mul  # (B, L, H)
+        inv_k = jax.lax.rsqrt(jnp.square(kf) @ seg + 1e-24)
+        qm = (qf * (inv_q @ seg.T)).astype(dtype)
+        km = (kf * (inv_k @ seg.T)).astype(dtype)
     else:
         scale = 0.25 / math.sqrt(d)
     new_kv = None
-    k_att, v_att = k, v
-    if cache_kv is not None:
-        new_kv = (k.reshape(b, l, c), v.reshape(b, l, c))
+    k_att_m = v_att_m = None  # merged (B, Lk, C) forms for the decode kernel
+    if cache_kv is not None and len(cache_kv) == 4:
+        # preallocated decode cache: full (depth, B, Lmax, C) buffers written
+        # in place at static offset ``cum`` (block index ``idx`` may be a
+        # scan-traced scalar). No concat: the grow-by-concat path kept the
+        # old and new cache alive simultaneously each stage (13.9G live at
+        # the final d16 stage, bs96) and fragmented the heap.
+        ckf, cvf, idx, cum = cache_kv
+        ckf = jax.lax.dynamic_update_slice(ckf, km.astype(ckf.dtype)[None],
+                                           (idx, 0, cum, 0))
+        cvf = jax.lax.dynamic_update_slice(cvf, vm.astype(cvf.dtype)[None],
+                                           (idx, 0, cum, 0))
+        lk = cum + l
+        k_att_m = jax.lax.dynamic_slice(ckf, (idx, 0, 0, 0), (1, b, lk, c))[0]
+        v_att_m = jax.lax.dynamic_slice(cvf, (idx, 0, 0, 0), (1, b, lk, c))[0]
+        new_kv = (ckf, cvf)
+    elif cache_kv is not None:
+        new_kv = (km, vm)
         if cache_kv[0] is not None:
-            lk = cache_kv[0].shape[1] + l
-            k_att = jnp.concatenate([cache_kv[0], new_kv[0]], axis=1).reshape(b, lk, h, d)
-            v_att = jnp.concatenate([cache_kv[1], new_kv[1]], axis=1).reshape(b, lk, h, d)
-    out = attention(q, k_att, v_att, scale, bias=bias, impl=impl, scale_ends=scale_ends).reshape(b, l, c)
+            k_att_m = jnp.concatenate([cache_kv[0], km], axis=1)
+            v_att_m = jnp.concatenate([cache_kv[1], vm], axis=1)
+    if k_att_m is not None and impl == "pallas":
+        # decode: merged-head flash kernel — caches stay (B, Lk, C), no
+        # (B, H, Lq, Lk) logits tensor, no head transposes or padded layouts
+        from var_tpu.ops.pallas.flash_attention import flash_decode_mha
+
+        out = flash_decode_mha(qm, k_att_m, v_att_m, h, scale)
+    else:
+        q = qm.reshape(b, l, h, d)
+        if k_att_m is not None:
+            lk = k_att_m.shape[1]
+            k_att = k_att_m.reshape(b, lk, h, d)
+            v_att = v_att_m.reshape(b, lk, h, d)
+        else:
+            k_att, v_att = km.reshape(b, l, h, d), vm.reshape(b, l, h, d)
+        out = attention(q, k_att, v_att, scale, bias=bias, impl=impl,
+                        scale_ends=scale_ends).reshape(b, l, c)
     return _linear(ap["proj"], out), new_kv
 
 
@@ -255,20 +300,35 @@ def block_apply(
     impl: str = "xla",
     drop_path_mask: Optional[Tuple[jax.Array, jax.Array]] = None,
     scale_ends: Optional[Tuple[int, ...]] = None,
+    ln_impl: str = "xla",
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     """Pre-norm AdaLN block (``basic_var.py:152-158``):
     x += dp(attn(ln(x)*(s1+1)+sh1) * g1); x += dp(ffn(ln(x)*(s2+1)+sh2) * g2).
+
+    ``ln_impl="pallas"`` fuses each LN+modulation into one Pallas pass
+    (decode-only: XLA's per-stage LN fusions profile at 20-60 GB/s and
+    dominate decode; the kernel has no VJP so training keeps "xla").
     """
     dtype = x.dtype
     p6 = _adaln6(blk, cfg, cond_ctx)
     g1, g2, s1, s2, sh1, sh2 = [p6[:, :, i].astype(dtype) for i in range(6)]
-    a_in = _ln(x, cfg.norm_eps) * (s1 + 1.0) + sh1
+    if ln_impl == "pallas":
+        from var_tpu.ops.pallas.fused_ln import modulated_layernorm
+
+        a_in = modulated_layernorm(x, p6[:, 0, 2], p6[:, 0, 4], eps=cfg.norm_eps)
+    else:
+        a_in = _ln(x, cfg.norm_eps) * (s1 + 1.0) + sh1
     a_out, new_kv = attn_apply(blk["attn"], cfg, a_in, bias, cache_kv, impl, scale_ends)
     a_out = a_out * g1
     if drop_path_mask is not None:
         a_out = a_out * drop_path_mask[0].astype(dtype)
     x = x + a_out
-    f_in = _ln(x, cfg.norm_eps) * (s2 + 1.0) + sh2
+    if ln_impl == "pallas":
+        from var_tpu.ops.pallas.fused_ln import modulated_layernorm
+
+        f_in = modulated_layernorm(x, p6[:, 0, 3], p6[:, 0, 5], eps=cfg.norm_eps)
+    else:
+        f_in = _ln(x, cfg.norm_eps) * (s2 + 1.0) + sh2
     f_out = ffn_apply(blk["ffn"], f_in) * g2
     if drop_path_mask is not None:
         f_out = f_out * drop_path_mask[1].astype(dtype)
@@ -303,11 +363,29 @@ def get_logits_cfg(params: dict, cfg: VARConfig, h_2b: jax.Array,
     return _linear(params["head"], mixed)
 
 
-def cond_context(params: dict, cfg: VARConfig, cond_bd: jax.Array):
-    """Precompute per-forward conditioning (``var.py:165,210``)."""
+def cond_context(params: dict, cfg: VARConfig, cond_bd: jax.Array, decode: bool = False):
+    """Precompute per-forward conditioning (``var.py:165,210``).
+
+    ``decode=True`` hoists every block's AdaLN-6 projection out of the stage
+    loop: the class conditioning never changes across a decode's 10 stages,
+    so recomputing ada_lin per (stage, block) — 160 small matmuls at d16 —
+    is pure waste. Teacher-forced training keeps the lazy per-block form
+    (one pass, nothing to reuse; remat re-derives it cheaply)."""
     if cfg.shared_aln:
         gss = _linear(params["shared_ada_lin"], jax.nn.silu(cond_bd.astype(F32)))
         return ("shared", gss.reshape(-1, 1, 6, cfg.embed_dim))
+    if decode:
+        blocks = params["blocks"]
+        h = jax.nn.silu(cond_bd.astype(F32))
+        if isinstance(blocks, (list, tuple)):
+            p6 = [_linear(b["ada_lin"], h).reshape(-1, 1, 6, cfg.embed_dim)
+                  for b in blocks]
+        else:  # stacked: one batched einsum over depth
+            k = blocks["ada_lin"]["kernel"].astype(F32)  # (depth, C, 6C)
+            bias = blocks["ada_lin"]["bias"].astype(F32)  # (depth, 6C)
+            p6 = jnp.einsum("bc,dcx->dbx", h, k) + bias[:, None]
+            p6 = p6.reshape(k.shape[0], -1, 1, 6, cfg.embed_dim)
+        return ("precomp", p6)
     return ("perblock", cond_bd)
 
 
@@ -456,29 +534,79 @@ def init_caches(cfg: VARConfig, batch: int, dtype=jnp.bfloat16) -> Tuple[jax.Arr
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
+def init_prealloc_caches(cfg: VARConfig, batch: int, lmax: Optional[int] = None,
+                         dtype=jnp.bfloat16):
+    """Full-length decode KV caches written in place: (K, V, cum=0) with K, V
+    of shape (depth, B, lmax, C). The grow-by-concat alternative keeps the
+    old and the grown cache alive simultaneously at every stage boundary and
+    fragments the heap (bs96 d16 decode: 6.1G fragmentation, OOM); a single
+    preallocated buffer + ``dynamic_update_slice`` is XLA's in-place KV-cache
+    pattern and makes decode cache memory exactly 2 x depth x B x L x C."""
+    lmax = cfg.seq_len if lmax is None else lmax
+    shape = (cfg.depth, batch, lmax, cfg.embed_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), 0
+
+
 def transformer_stage(
     params: dict,
     cfg: VARConfig,
     x: jax.Array,
     cond_ctx,
-    caches: Optional[Tuple[jax.Array, jax.Array]],
+    caches,
     dtype=jnp.bfloat16,
-    attn_impl: str = "xla",
+    attn_impl: str = "auto",
+    ln_impl: str = "auto",
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Run all blocks over one scale's token map with KV caching
-    (``var.py:166-169``). ``caches`` = stacked (K, V) of shape
-    (depth, B, Lprev, C) — heads merged, see :func:`init_caches`; pass None
-    to start. Returns hidden states (not logits) and the grown caches."""
+    (``var.py:166-169``). Two cache representations:
+
+    * grow-by-concat (compat / kv_window pruning): ``caches`` = (K, V) of
+      shape (depth, B, Lprev, C) — heads merged, see :func:`init_caches`;
+      pass None to start. Returns (x, grown (K, V)).
+    * preallocated in-place (the decode hot path): ``caches`` = (K, V, cum)
+      from :func:`init_prealloc_caches`; K, V are full-length buffers updated
+      at static offset ``cum``. Returns (x, (K, V, cum + L)).
+    """
+    if ln_impl == "auto":  # fused pallas LN on real TPUs, XLA elsewhere
+        ln_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if attn_impl == "auto":
+        # XLA decode attention: its fusions already run near stream bandwidth
+        # at these shapes (profiled); the merged pallas kernel stays available
+        # via attn_impl="pallas" for the long 512px/1024px presets
+        attn_impl = "xla"
     x = x.astype(dtype)
     if caches is None:
         caches = init_caches(cfg, x.shape[0], dtype)
-    ck, cv = caches
     blocks = params["blocks"]
+    precomp = cond_ctx[1] if cond_ctx[0] == "precomp" else None
+    l = x.shape[1]
+    if len(caches) == 3:  # preallocated in-place path
+        ck, cv, cum = caches
+        if isinstance(blocks, (list, tuple)):
+            for i, blk in enumerate(blocks):
+                ctx_i = ("precomp", precomp[i]) if precomp is not None else cond_ctx
+                x, (ck, cv) = block_apply(blk, cfg, x, ctx_i, bias=None,
+                                          cache_kv=(ck, cv, i, cum), impl=attn_impl, ln_impl=ln_impl)
+        else:
+
+            def body(carry, xs):
+                xc, ckc, cvc = carry
+                blk, i, p6i = xs
+                ctx_i = ("precomp", p6i) if p6i is not None else cond_ctx
+                xc, (ckc, cvc) = block_apply(blk, cfg, xc, ctx_i, bias=None,
+                                             cache_kv=(ckc, cvc, i, cum), impl=attn_impl, ln_impl=ln_impl)
+                return (xc, ckc, cvc), None
+
+            idxs = jnp.arange(cfg.depth)
+            (x, ck, cv), _ = jax.lax.scan(body, (x, ck, cv), (blocks, idxs, precomp))
+        return x, (ck, cv, cum + l)
+    ck, cv = caches
     if isinstance(blocks, (list, tuple)):  # unrolled path
         new_k, new_v = [], []
         for i, blk in enumerate(blocks):
-            x, kv = block_apply(blk, cfg, x, cond_ctx, bias=None,
-                                cache_kv=(ck[i], cv[i]), impl=attn_impl)
+            ctx_i = ("precomp", precomp[i]) if precomp is not None else cond_ctx
+            x, kv = block_apply(blk, cfg, x, ctx_i, bias=None,
+                                cache_kv=(ck[i], cv[i]), impl=attn_impl, ln_impl=ln_impl)
             new_k.append(kv[0])
             new_v.append(kv[1])
         knew = jnp.stack(new_k)
@@ -486,10 +614,11 @@ def transformer_stage(
     else:  # scan path
 
         def body(xc, xs):
-            blk, cki, cvi = xs
-            xc, kv = block_apply(blk, cfg, xc, cond_ctx, bias=None,
-                                 cache_kv=(cki, cvi), impl=attn_impl)
+            blk, cki, cvi, p6i = xs
+            ctx_i = ("precomp", p6i) if p6i is not None else cond_ctx
+            xc, kv = block_apply(blk, cfg, xc, ctx_i, bias=None,
+                                 cache_kv=(cki, cvi), impl=attn_impl, ln_impl=ln_impl)
             return xc, kv
 
-        x, (knew, vnew) = jax.lax.scan(body, x, (blocks, ck, cv))
+        x, (knew, vnew) = jax.lax.scan(body, x, (blocks, ck, cv, precomp))
     return x, (jnp.concatenate([ck, knew], axis=2), jnp.concatenate([cv, vnew], axis=2))
