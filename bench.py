@@ -123,8 +123,8 @@ def main():
     else:
         vae_cfg = VAEConfig()
         var_cfg = VARConfig.from_depth(16, attn_l2_norm=True)
-        batch = arg("--batch", 64)
-        iters = arg("--iters", 5)
+        batch = arg("--batch", 128)  # 84.4 img/s vs 80.2 at bs64 (fits since the
+        iters = arg("--iters", 5)    # pallas decode attn keeps caches unpadded)
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     vae_params = vae_mod.init_vae_params(k1, vae_cfg)
@@ -134,7 +134,7 @@ def main():
     # and the quantizer is fp32-forced (reference quant.py:53-61)
     dtype = jnp.float32 if smoke else jnp.bfloat16
 
-    attn_impl = "pallas" if "--attn-pallas" in sys.argv else "xla"
+    attn_impl = "pallas" if "--attn-pallas" in sys.argv else ("xla" if "--attn-xla" in sys.argv else "auto")
     sampler = make_sampler(var_cfg, vae_cfg, cfg_scale=1.5, top_k=900 if not smoke else 8,
                            top_p=0.96, dtype=dtype, attn_impl=attn_impl)
     labels = jnp.arange(batch, dtype=jnp.int32) % var_cfg.num_classes

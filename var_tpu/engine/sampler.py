@@ -224,13 +224,14 @@ def make_sampler(
     -> DecodeResult. Sampling hyper-parameters are compile-time constants
     (they select the compiled graph, like reference CLI flags).
 
-    Two XLA programs, not one: token decode (KV-cache-heavy) and VQVAE
-    render (activation-heavy) peak on different buffers, and splitting them
-    lets each program use the whole HBM (one ~3 MB f_hat crosses between
-    dispatches — no host sync, JAX queues the second program on the same
-    stream)."""
+    One XLA program: a split token-decode | render pair was tried for HBM
+    headroom but costs ~80 ms/batch through the remote-dispatch path (73.1
+    vs 80.3 img/s at bs64), and with the pallas decode attention the cache
+    layouts no longer blow the single-program heap.
+    :func:`decode_tokens_cfg` / :func:`render_fhat` remain available for
+    callers that want the halves separately."""
     fn = partial(
-        decode_tokens_cfg,
+        decode_cfg,
         cfg_scale=cfg_scale,
         top_k=top_k,
         top_p=top_p,
@@ -239,35 +240,19 @@ def make_sampler(
         attn_impl=attn_impl,
         kv_window=kv_window,
     )
-    render = jax.jit(
-        lambda vae_params, f_hat: render_fhat(vae_params, vae_cfg, f_hat, dtype=dtype)
-    )
 
     if inpainting:
-        tok = jax.jit(
+        return jax.jit(
             lambda var_params, vae_params, rng, label_b, gt, mask: fn(
                 var_params, vae_params, var_cfg, vae_cfg, rng, label_b,
                 gt_tokens=gt, keep_mask=mask,
             )
         )
-
-        def sampler(var_params, vae_params, rng, label_b, gt, mask):
-            tokens, f_hat = tok(var_params, vae_params, rng, label_b, gt, mask)
-            return DecodeResult(render(vae_params, f_hat), tokens, f_hat)
-
-        return sampler
-
-    tok = jax.jit(
+    return jax.jit(
         lambda var_params, vae_params, rng, label_b: fn(
             var_params, vae_params, var_cfg, vae_cfg, rng, label_b
         )
     )
-
-    def sampler(var_params, vae_params, rng, label_b):
-        tokens, f_hat = tok(var_params, vae_params, rng, label_b)
-        return DecodeResult(render(vae_params, f_hat), tokens, f_hat)
-
-    return sampler
 
 
 # ---------------------------------------------------------------------------

@@ -41,21 +41,36 @@ def conv2d(p: dict, x: jax.Array, stride: int = 1, padding="SAME") -> jax.Array:
     return out + p["bias"].astype(dtype)
 
 
-def group_norm(p: dict, x: jax.Array, num_groups: int = 32, eps: float = 1e-6) -> jax.Array:
+def group_norm(p: dict, x: jax.Array, num_groups: int = 32, eps: float = 1e-6,
+               impl: str = "xla") -> jax.Array:
     """torch.nn.GroupNorm semantics (``basic_vae.py:18-19``): normalize over
     (spatial, channels-within-group) per sample, fp32 statistics.
 
     Bandwidth-shaped for TPU: statistics come from fused convert+reduce
     passes; the affine transform is folded into one per-(batch, channel)
     scale/shift applied in the input dtype, so the big activation tensor is
-    touched once in, once out (no fp32 materialization — decode profiling
-    showed GroupNorm was half the VQVAE decoder's time)."""
+    touched once for stats, once for apply. A Pallas stats pass exists
+    (``ops/pallas/gn_stats``, ``impl="pallas"``) but measures SLOWER here:
+    the decoder convs emit a B-interleaved {3,0,2,1} layout and feeding
+    pallas forces a full dense-layout copy of the activation first
+    (73.0 -> 59.2 img/s end to end) — kept opt-in for layouts where the
+    producer is already dense."""
     b, h, w, c = x.shape
     cg = c // num_groups
+    n = h * w * cg  # elements per (batch, group)
+    if impl == "pallas":
+        from var_tpu.ops.pallas.gn_stats import gn_channel_stats
+
+        s, ss = gn_channel_stats(x)  # (b, c) fp32 each
+        gs = jnp.sum(s.reshape(b, num_groups, cg), axis=-1)
+        gss = jnp.sum(ss.reshape(b, num_groups, cg), axis=-1)
+        mean = (gs / n).reshape(b, 1, num_groups, 1)
+        var = (gss / n).reshape(b, 1, num_groups, 1) - jnp.square(mean)
+    else:
+        xf = x.reshape(b, h * w, num_groups, cg).astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)  # (b,1,g,1)
+        var = jnp.mean(jnp.square(xf), axis=(1, 3), keepdims=True) - jnp.square(mean)
     xg = x.reshape(b, h * w, num_groups, cg)
-    xf = xg.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)  # (b,1,g,1)
-    var = jnp.mean(jnp.square(xf), axis=(1, 3), keepdims=True) - jnp.square(mean)
     inv = jax.lax.rsqrt(var + eps)
     g_scale = p["scale"].reshape(1, 1, num_groups, cg) * inv  # (b,1,g,cg) f32
     g_shift = p["bias"].reshape(1, 1, num_groups, cg) - mean * g_scale

@@ -267,11 +267,16 @@ def attn_apply(
             k_att_m = jnp.concatenate([cache_kv[0], km], axis=1)
             v_att_m = jnp.concatenate([cache_kv[1], vm], axis=1)
     if k_att_m is not None and impl == "pallas":
-        # decode: merged-head flash kernel — caches stay (B, Lk, C), no
+        # decode: merged-head flash kernels — caches stay (B, Lk, C), no
         # (B, H, Lq, Lk) logits tensor, no head transposes or padded layouts
-        from var_tpu.ops.pallas.flash_attention import flash_decode_mha
+        from var_tpu.ops.pallas.flash_attention import (flash_decode_mha,
+                                                        flash_decode_paired)
 
-        out = flash_decode_mha(qm, k_att_m, v_att_m, h, scale)
+        lk_now = k_att_m.shape[1]
+        if d * 2 == 128 and h % 2 == 0 and lk_now <= 1300 and l >= 8:
+            out = flash_decode_paired(qm, k_att_m, v_att_m, h, scale)
+        else:
+            out = flash_decode_mha(qm, k_att_m, v_att_m, h, scale)
     else:
         q = qm.reshape(b, l, h, d)
         if k_att_m is not None:
@@ -569,11 +574,8 @@ def transformer_stage(
     """
     if ln_impl == "auto":  # fused pallas LN on real TPUs, XLA elsewhere
         ln_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if attn_impl == "auto":
-        # XLA decode attention: its fusions already run near stream bandwidth
-        # at these shapes (profiled); the merged pallas kernel stays available
-        # via attn_impl="pallas" for the long 512px/1024px presets
-        attn_impl = "xla"
+    if attn_impl == "auto":  # paired-head pallas decode attention on TPUs
+        attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     x = x.astype(dtype)
     if caches is None:
         caches = init_caches(cfg, x.shape[0], dtype)

@@ -352,6 +352,87 @@ def flash_attention(
 
 
 # ---------------------------------------------------------------------------
+# paired-head decode kernel: all slicing at 128-lane tile granularity
+
+
+def _fwd_kernel_paired(q_ref, k_ref, v_ref, o_ref, *, lk: int, nh: int, d: int):
+    """One (batch, q-block) program, whole K/V in VMEM, softmax per row.
+
+    C is covered in 128-lane tiles; tile j holds heads (2j, 2j+1). For the
+    QK dot the two heads are separated by stacking two lane-masked copies of
+    the q tile ([q_even|0] and [0|q_odd]) along rows — a (2Bq, 128) x
+    (128, Bk) dot then yields both heads' logits with NO sub-tile lane
+    slicing (Mosaic relayouts made a per-head 64-lane-slice kernel 4x slower
+    than XLA). The PV dot computes both heads against the full tile and the
+    halves are recombined with constant lane masks.
+    """
+    q = q_ref[0]  # (Bq, C)
+    k = k_ref[0]  # (Bk, C)
+    v = v_ref[0]  # (Bk, C)
+    bq = q.shape[0]
+    bk = k.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * d), 1)
+    m_even = (lane < d).astype(F32)  # [1]*d + [0]*d
+    m_odd = 1.0 - m_even
+    col_ok = (jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1) < lk)
+    for j in range(nh // 2):
+        sl = slice(j * 2 * d, (j + 1) * 2 * d)  # one full 128-lane tile
+        qt = q[:, sl].astype(F32)  # (Bq, 128)
+        kt = k[:, sl].astype(F32)  # (Bk, 128)
+        # zero padded tail rows: their probs are 0 but 0 * NaN = NaN
+        row_ok = jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0) < lk
+        vt = jnp.where(row_ok, v[:, sl].astype(F32), 0.0)
+        qe = jnp.concatenate([qt * m_even, qt * m_odd], axis=0)  # (2Bq, 128)
+        s = jax.lax.dot_general(qe, kt, (((1,), (1,)), ((), ())),
+                                preferred_element_type=F32)  # (2Bq, Bk)
+        s = jnp.where(col_ok, s, NEG_INF)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o2 = jax.lax.dot_general(p, vt, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=F32)  # (2Bq, 128)
+        o_ref[0, :, sl] = (o2[:bq] * m_even + o2[bq:] * m_odd).astype(o_ref.dtype)
+
+
+def flash_decode_paired(
+    q_m: jax.Array,
+    k_m: jax.Array,
+    v_m: jax.Array,
+    num_heads: int,
+    scale: float = 1.0,
+    block_q: int = 128,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Decode attention over merged-head (B, L, C) tensors with the whole
+    K/V resident in VMEM per program (lk <= ~1300 at C=1024). For longer
+    caches use :func:`flash_decode_mha` (streams K/V)."""
+    b, lq, c = q_m.shape
+    lk = k_m.shape[1]
+    d = c // num_heads
+    assert num_heads % 2 == 0 and 2 * d == 128, "paired kernel wants D=64 pairs"
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    bq = _pick_block(lq, block_q)
+    bk = _pick_block(lk, 1 << 30)  # whole cache, rounded to sublane multiple
+    qs = (q_m.astype(F32) * scale).astype(q_m.dtype)
+    grid = (b, pl.cdiv(lq, bq))
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_paired, lk=lk, nh=num_heads, d=d),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda i, qi: (i, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, c), lambda i, qi: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, c), lambda i, qi: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, c), lambda i, qi: (i, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, lq, c), q_m.dtype),
+        compiler_params=_params(("parallel", "parallel")),
+        interpret=interpret,
+    )(qs, k_m, v_m)
+
+
+# ---------------------------------------------------------------------------
 # merged-C decode kernel: heads split inside the kernel, caches stay (B, L, C)
 
 
