@@ -56,13 +56,13 @@ def decode_tokens_cfg(
     edit_mask: Optional[jax.Array] = None,
     kv_window: Optional[int] = None,
     cache_impl: str = "concat",
+    approx_topk: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Transformer half of :func:`decode_cfg` -> (tokens (B, L), f_hat).
-    Split out so the sampler can run the token decode and the VQVAE render
-    as separate XLA programs — sharing one program puts the KV caches and
-    the 256px decoder activations in the same heap and OOMs at bs>=96
-    (f_hat is ~3 MB, so the extra dispatch is free). Argument semantics are
-    documented on :func:`decode_cfg`."""
+    """Transformer half of :func:`decode_cfg` -> (tokens (B, L), f_hat),
+    for callers that want the token decode and the VQVAE render as separate
+    programs (e.g. classifier scoring that never renders). The shipped
+    sampler keeps both in ONE jit — a split pair costs ~80 ms/batch of
+    dispatch. Argument semantics are documented on :func:`decode_cfg`."""
     b = label_b.shape[0]
     pns = var_cfg.patch_nums
     sn = len(pns)
@@ -116,7 +116,7 @@ def decode_tokens_cfg(
         # CFG-mixed logits with the head matmul on B rows (get_logits_cfg)
         lg = var_mod.get_logits_cfg(var_params, var_cfg, x, cond_bd, cfg_scale * ratio)
         rng, r_samp, r_gum = jax.random.split(rng, 3)
-        idx = sample_with_top_k_top_p(r_samp, lg, top_k=top_k, top_p=top_p)
+        idx = sample_with_top_k_top_p(r_samp, lg, top_k=top_k, top_p=top_p, approx=approx_topk)
         if gt_tokens is not None and keep_mask is not None:
             keep = keep_mask[:, cur : cur + seg]
             idx = jnp.where(keep, gt_tokens[:, cur : cur + seg], idx)
@@ -177,6 +177,7 @@ def decode_cfg(
     edit_mask: Optional[jax.Array] = None,
     kv_window: Optional[int] = None,
     cache_impl: str = "concat",
+    approx_topk: bool = False,
 ) -> DecodeResult:
     """Class-conditional CFG decode; with ``gt_tokens``+``keep_mask`` it is
     token-mask inpainting (kept positions take ground-truth ids and steer all
@@ -202,7 +203,7 @@ def decode_cfg(
         cfg_scale=cfg_scale, top_k=top_k, top_p=top_p, more_smooth=more_smooth,
         dtype=dtype, attn_impl=attn_impl, gt_tokens=gt_tokens,
         keep_mask=keep_mask, edit_mask=edit_mask, kv_window=kv_window,
-        cache_impl=cache_impl,
+        cache_impl=cache_impl, approx_topk=approx_topk,
     )
     img = render_fhat(vae_params, vae_cfg, f_hat, dtype=dtype)
     return DecodeResult(img, tokens, f_hat)
@@ -219,6 +220,7 @@ def make_sampler(
     attn_impl: str = "auto",
     inpainting: bool = False,
     kv_window: Optional[int] = None,
+    approx_topk: bool = False,
 ):
     """Compiled sampler: (var_params, vae_params, rng, label_b[, gt, mask])
     -> DecodeResult. Sampling hyper-parameters are compile-time constants
@@ -239,6 +241,7 @@ def make_sampler(
         dtype=dtype,
         attn_impl=attn_impl,
         kv_window=kv_window,
+        approx_topk=approx_topk,
     )
 
     if inpainting:

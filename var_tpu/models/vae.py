@@ -66,6 +66,19 @@ def group_norm(p: dict, x: jax.Array, num_groups: int = 32, eps: float = 1e-6,
         gss = jnp.sum(ss.reshape(b, num_groups, cg), axis=-1)
         mean = (gs / n).reshape(b, 1, num_groups, 1)
         var = (gss / n).reshape(b, 1, num_groups, 1) - jnp.square(mean)
+    elif impl == "dot":
+        # spatial reduction as a dot with a ones vector: the MXU does the
+        # accumulation and the fp32 convert/square fuse into the operand read
+        ones = jnp.ones((h, w), jnp.float32)
+        xf = x.astype(jnp.float32)
+        dims = (((1, 2), (0, 1)), ((), ()))
+        s = jax.lax.dot_general(xf, ones, dims, preferred_element_type=jnp.float32)
+        ss = jax.lax.dot_general(jnp.square(xf), ones, dims,
+                                 preferred_element_type=jnp.float32)
+        gs = jnp.sum(s.reshape(b, num_groups, cg), axis=-1)
+        gss = jnp.sum(ss.reshape(b, num_groups, cg), axis=-1)
+        mean = (gs / n).reshape(b, 1, num_groups, 1)
+        var = (gss / n).reshape(b, 1, num_groups, 1) - jnp.square(mean)
     else:
         xf = x.reshape(b, h * w, num_groups, cg).astype(jnp.float32)
         mean = jnp.mean(xf, axis=(1, 3), keepdims=True)  # (b,1,g,1)

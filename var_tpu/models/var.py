@@ -266,23 +266,26 @@ def attn_apply(
         if cache_kv[0] is not None:
             k_att_m = jnp.concatenate([cache_kv[0], km], axis=1)
             v_att_m = jnp.concatenate([cache_kv[1], vm], axis=1)
-    if k_att_m is not None and impl == "pallas":
-        # decode: merged-head flash kernels — caches stay (B, Lk, C), no
-        # (B, H, Lq, Lk) logits tensor, no head transposes or padded layouts
-        from var_tpu.ops.pallas.flash_attention import (flash_decode_mha,
-                                                        flash_decode_paired)
+    use_paired = (k_att_m is not None and impl == "pallas" and d * 2 == 128
+                  and h % 2 == 0 and k_att_m.shape[1] <= 1300 and l >= 8)
+    if use_paired:
+        # decode: paired-head flash kernel — caches stay (B, Lk, C), no
+        # (B, H, Lq, Lk) logits tensor, no head transposes or padded layouts.
+        # Outside its envelope (longer caches at the 512px/1024px presets,
+        # tiny stages) XLA's dot-general pair measures faster than the
+        # streaming merged kernel (per-head lane slicing relayouts), so
+        # everything else takes the XLA path below.
+        from var_tpu.ops.pallas.flash_attention import flash_decode_paired
 
-        lk_now = k_att_m.shape[1]
-        if d * 2 == 128 and h % 2 == 0 and lk_now <= 1300 and l >= 8:
-            out = flash_decode_paired(qm, k_att_m, v_att_m, h, scale)
-        else:
-            out = flash_decode_mha(qm, k_att_m, v_att_m, h, scale)
+        out = flash_decode_paired(qm, k_att_m, v_att_m, h, scale)
     else:
         q = qm.reshape(b, l, h, d)
         if k_att_m is not None:
             lk = k_att_m.shape[1]
             k_att = k_att_m.reshape(b, lk, h, d)
             v_att = v_att_m.reshape(b, lk, h, d)
+            if impl == "pallas":
+                impl = "xla"  # decode outside the paired envelope (see above)
         else:
             k_att, v_att = km.reshape(b, l, h, d), vm.reshape(b, l, h, d)
         out = attention(q, k_att, v_att, scale, bias=bias, impl=impl,
@@ -442,12 +445,10 @@ def var_forward(
         x = jnp.concatenate([sos, _linear(params["word_embed"], tok)], axis=1)
     x = x + lvl_pos_embed(params, cfg)[:, :ed]
 
-    if attn_impl == "pallas":  # factored mask: no L x L bias tensor
-        bias = None
-        scale_ends = tuple(e for _, e in cfg.begin_ends)
-    else:
-        bias = jnp.asarray(block_causal_bias(cfg)[:, :, :ed, :ed])
-        scale_ends = None
+    # factored mask for BOTH impls: no L x L bias tensor (AD kept a
+    # (depth, B, H, L, L) fp32 broadcast of it as a scan residual)
+    bias = None
+    scale_ends = tuple(e for _, e in cfg.begin_ends)
     ctx = cond_context(params, cfg, cond_bd)
     x = x.astype(dtype)
     blocks = params["blocks"]

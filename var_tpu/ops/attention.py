@@ -42,7 +42,22 @@ def attention(
 
         return flash_attention(q, k, v, scale=scale, scale_ends=scale_ends)
     logits = jnp.einsum("blhd,bmhd->bhlm", q, k).astype(jnp.float32) * scale
-    if bias is not None:
+    if scale_ends is not None:
+        # factored block-causal mask: level(p) = #{e in ends : p >= e};
+        # attend where key-level <= query-level. Computed from iotas in
+        # place of an L x L bias constant — AD saved a (depth, B, H, L, L)
+        # fp32 broadcast of the bias tensor as a scan residual (8 GB at
+        # d16 bs16), where this form is recomputed for free.
+        def _levels(n):
+            pos = jnp.arange(n)
+            lvl = jnp.zeros((n,), jnp.int32)
+            for e in scale_ends:
+                lvl = lvl + (pos >= e).astype(jnp.int32)
+            return lvl
+
+        ok = _levels(k.shape[1])[None, :] <= _levels(q.shape[1])[:, None]
+        logits = jnp.where(ok[None, None], logits, -jnp.inf)
+    elif bias is not None:
         logits = logits + bias.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhlm,bmhd->blhd", probs, v)
