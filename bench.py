@@ -48,6 +48,7 @@ def bench_train(batch: int, iters: int, smoke: bool = False):
         vae_cfg = VAEConfig()
         var_cfg = VARConfig.from_depth(16, attn_l2_norm=True)
         args = TrainArgs(depth=16, bs=batch, ac=1, ep=200, fp16=1).finalize(world_size=1)
+        args.remat = True  # fp32 softmax residuals OOM a 16G chip without it
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     vae_params = vae_mod.init_vae_params(k1, vae_cfg)
     var_params = var_mod.stack_block_params(var_mod.init_var_params(k2, var_cfg))

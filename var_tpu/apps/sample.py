@@ -63,6 +63,12 @@ def main(argv=None):
     )
     labels = jnp.asarray([int(c) for c in args.classes.split(",")], jnp.int32)
     dtype = jnp.float32 if (args.fp32 or jax.devices()[0].platform == "cpu") else jnp.bfloat16
+    if args.depth >= 30 and dtype == jnp.bfloat16:
+        # 2B+ fp32 block weights alone are ~9G of a 16G chip; bit-identical
+        # under bf16 compute (weights are cast at use anyway)
+        from var_tpu.models import var as var_mod
+
+        var_params = var_mod.cast_block_matmul_params(var_params)
     sampler = make_sampler(var_cfg, vae_cfg, cfg_scale=args.cfg, top_k=args.top_k,
                            top_p=args.top_p, more_smooth=args.more_smooth, dtype=dtype)
     t0 = time.time()

@@ -150,6 +150,40 @@ def param_count(params) -> int:
     return sum(int(np.prod(a.shape)) for a in jax.tree_util.tree_leaves(params))
 
 
+def cast_block_matmul_params(params: dict, dtype=jnp.bfloat16) -> dict:
+    """Cast the transformer blocks' matmul weights/biases to the compute
+    dtype for INFERENCE of the big presets (d30/d36: 2B+ fp32 params alone
+    are 9.2G of a 16G chip).
+
+    Bit-identical decode: these tensors are ``astype(compute dtype)`` at
+    every use anyway (:func:`_linear`, :func:`attn_apply`), so rounding them
+    once up front changes nothing. Everything consumed in fp32 stays fp32:
+    ada_lin/ada_gss (AdaLN), scale_mul (QK log-scale), word_embed, head,
+    head_nm, class/pos/level embeddings."""
+    out = dict(params)
+    blocks = params["blocks"]
+
+    def cast_one(blk: dict) -> dict:
+        blk = dict(blk)
+        attn = dict(blk["attn"])
+        attn["qkv"] = {"kernel": attn["qkv"]["kernel"].astype(dtype)}
+        attn["proj"] = {k: v.astype(dtype) for k, v in attn["proj"].items()}
+        attn["q_bias"] = attn["q_bias"].astype(dtype)
+        attn["v_bias"] = attn["v_bias"].astype(dtype)
+        blk["attn"] = attn
+        blk["ffn"] = {
+            name: {k: v.astype(dtype) for k, v in lin.items()}
+            for name, lin in blk["ffn"].items()
+        }
+        return blk
+
+    if isinstance(blocks, (list, tuple)):
+        out["blocks"] = [cast_one(b) for b in blocks]
+    else:
+        out["blocks"] = cast_one(blocks)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # building blocks
 
@@ -266,8 +300,13 @@ def attn_apply(
         if cache_kv[0] is not None:
             k_att_m = jnp.concatenate([cache_kv[0], km], axis=1)
             v_att_m = jnp.concatenate([cache_kv[1], vm], axis=1)
+    # paired-kernel envelope: whole K/V resident in VMEM per program, so the
+    # cache length bound scales inversely with width (d16 C=1024 -> 1464
+    # covers the full 256px pyramid; d36 C=2304 -> 651 covers stages 1-7 and
+    # the long tail stages take the XLA path)
+    paired_max_lk = 6_000_000 // (4 * c)
     use_paired = (k_att_m is not None and impl == "pallas" and d * 2 == 128
-                  and h % 2 == 0 and k_att_m.shape[1] <= 1300 and l >= 8)
+                  and h % 2 == 0 and k_att_m.shape[1] <= paired_max_lk and l >= 8)
     if use_paired:
         # decode: paired-head flash kernel — caches stay (B, Lk, C), no
         # (B, H, Lq, Lk) logits tensor, no head transposes or padded layouts.
