@@ -42,17 +42,18 @@ def conv2d(p: dict, x: jax.Array, stride: int = 1, padding="SAME") -> jax.Array:
 
 
 def group_norm(p: dict, x: jax.Array, num_groups: int = 32, eps: float = 1e-6,
-               impl: str = "xla") -> jax.Array:
+               impl: str = "dot") -> jax.Array:
     """torch.nn.GroupNorm semantics (``basic_vae.py:18-19``): normalize over
     (spatial, channels-within-group) per sample, fp32 statistics.
 
-    Bandwidth-shaped for TPU: statistics come from fused convert+reduce
-    passes; the affine transform is folded into one per-(batch, channel)
-    scale/shift applied in the input dtype, so the big activation tensor is
-    touched once for stats, once for apply. A Pallas stats pass exists
-    (``ops/pallas/gn_stats``, ``impl="pallas"``) but measures SLOWER here:
-    the decoder convs emit a B-interleaved {3,0,2,1} layout and feeding
-    pallas forces a full dense-layout copy of the activation first
+    Bandwidth-shaped for TPU: the default "dot" impl computes the spatial
+    stat reductions as ones-vector dot_generals so the MXU does the
+    accumulation (XLA's convert+reduce stat fusions ran at ~85 GB/s on the
+    256px decoder tensors); the affine transform is folded into one
+    per-(batch, channel) scale/shift applied in the input dtype. "xla" is
+    the plain reduce formulation; "pallas" (``ops/pallas/gn_stats``)
+    measures SLOWER here — the decoder convs emit a B-interleaved
+    {3,0,2,1} layout and feeding pallas forces a dense-layout copy first
     (73.0 -> 59.2 img/s end to end) — kept opt-in for layouts where the
     producer is already dense."""
     b, h, w, c = x.shape

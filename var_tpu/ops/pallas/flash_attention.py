@@ -400,7 +400,7 @@ def flash_decode_paired(
     v_m: jax.Array,
     num_heads: int,
     scale: float = 1.0,
-    block_q: int = 128,
+    block_q: int = 256,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Decode attention over merged-head (B, L, C) tensors with the whole
