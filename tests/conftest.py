@@ -20,8 +20,14 @@ import jax  # noqa: E402  (sitecustomize has already registered the plugin)
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: most suite wall-time is CPU XLA compiles of the
-# tiny-config train/decode graphs; warm re-runs skip them entirely
-jax.config.update("jax_compilation_cache_dir", "/tmp/var_tpu_test_cache")
+# tiny-config train/decode graphs; warm re-runs skip them entirely.
+# Per-user path so concurrent CI runners don't share/grow one directory.
+import getpass  # noqa: E402
+import tempfile  # noqa: E402
+
+_cache = os.path.join(tempfile.gettempdir(),
+                      f"var_tpu_test_cache_{getpass.getuser()}")
+jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 

@@ -267,9 +267,11 @@ def main():
                 jnp.int32(g_it), jnp.float32(prog_wp),
             )
             me.update(Lm=m.Lm, Lt=m.Lt, Accm=m.accm, Acct=m.acct,
-                      tnm=m.grad_norm, tlr=m.lr, data_t=data_t)
+                      tnm=m.grad_norm, tlr=m.lr, data_t=data_t,
+                      step_t=time.time() - t_data)
             if opt_it % 50 == 0 or opt_it == opt_steps_per_ep - 1:
-                log(f"[ep {ep}/{args.ep}] [{opt_it}/{opt_steps_per_ep}] {me}")
+                eta = me.eta("step_t", opt_steps_per_ep - opt_it - 1)
+                log(f"[ep {ep}/{args.ep}] [{opt_it}/{opt_steps_per_ep}] {me} {eta}")
                 tb.set_step(g_it)
                 tb.update(head="AR_iter_loss", Lm=float(m.Lm), Lt=float(m.Lt),
                           Accm=float(m.accm), Acct=float(m.acct))

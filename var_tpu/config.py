@@ -66,8 +66,9 @@ class VARConfig:
     embed_dim: int = 1024
     num_heads: int = 16
     mlp_ratio: float = 4.0
-    drop_rate: float = 0.0
-    attn_drop_rate: float = 0.0
+    # NOTE: the reference exposes drop_rate/attn_drop_rate ctor args but
+    # build_vae_var hardcodes both to 0.0 (models/__init__.py:30-33), so
+    # they are not config here; drop_path_rate is the only active dropout.
     drop_path_rate: float = 0.0
     norm_eps: float = 1e-6
     shared_aln: bool = False

@@ -18,7 +18,7 @@ between scales, static shapes per stage. RNG is an explicit key.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -117,8 +117,6 @@ def from_pretrained_dict(config: dict, state_dict, stack_blocks: bool = True):
         embed_dim=config.get("embed_dim", depth * 64),
         num_heads=config.get("num_heads", depth),
         mlp_ratio=config.get("mlp_ratio", 4.0),
-        drop_rate=config.get("drop_rate", 0.0),
-        attn_drop_rate=config.get("attn_drop_rate", 0.0),
         drop_path_rate=config.get("drop_path_rate", 0.0),
         norm_eps=config.get("norm_eps", 1e-6),
         shared_aln=config.get("shared_aln", False),

@@ -33,6 +33,11 @@ from var_tpu.ops.attention import attention
 
 F32 = jnp.float32
 
+# VMEM bytes the paired decode kernel may spend on resident K+V per program;
+# sets its cache-length envelope (see attn_apply). Module-level so tests can
+# shrink it to exercise the pallas->XLA fallback seam.
+PAIRED_VMEM_BUDGET = 6_000_000
+
 
 # ---------------------------------------------------------------------------
 # static (config-derived) tables
@@ -304,9 +309,10 @@ def attn_apply(
     # cache length bound scales inversely with width (d16 C=1024 -> 1464
     # covers the full 256px pyramid; d36 C=2304 -> 651 covers stages 1-7 and
     # the long tail stages take the XLA path)
-    paired_max_lk = 6_000_000 // (4 * c)
-    use_paired = (k_att_m is not None and impl == "pallas" and d * 2 == 128
-                  and h % 2 == 0 and k_att_m.shape[1] <= paired_max_lk and l >= 8)
+    paired_max_lk = PAIRED_VMEM_BUDGET // (4 * c)
+    use_paired = (k_att_m is not None and impl == "pallas" and bias is None
+                  and d * 2 == 128 and h % 2 == 0
+                  and k_att_m.shape[1] <= paired_max_lk and l >= 8)
     if use_paired:
         # decode: paired-head flash kernel — caches stay (B, Lk, C), no
         # (B, H, Lq, Lk) logits tensor, no head transposes or padded layouts.

@@ -37,6 +37,12 @@ def attention(
     counts — the mask in factored form, required by the pallas path (which
     never materializes the L x L bias). Softmax in fp32; output in q.dtype.
     """
+    if scale_ends is not None:
+        # the factored mask derives query levels from position 0; a KV-cached
+        # caller (Lq < Lk) would get silently wrong levels — decode never
+        # passes scale_ends, so reject the combination outright
+        assert q.shape[1] == k.shape[1], \
+            "scale_ends requires full-sequence q (no KV cache offset)"
     if impl == "pallas":
         from var_tpu.ops.pallas.flash_attention import flash_attention
 

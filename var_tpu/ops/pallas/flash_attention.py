@@ -404,8 +404,11 @@ def flash_decode_paired(
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Decode attention over merged-head (B, L, C) tensors with the whole
-    K/V resident in VMEM per program (lk <= ~1300 at C=1024). For longer
-    caches use :func:`flash_decode_mha` (streams K/V)."""
+    K/V resident in VMEM per program (lk <= ~1300 at C=1024; see
+    ``var.PAIRED_VMEM_BUDGET``). Longer caches fall back to the XLA
+    dot-general pair in ``attn_apply``, which measured faster than a
+    streaming per-head-slice Pallas kernel (Mosaic sub-tile lane slices
+    relayout ~4x slower)."""
     b, lq, c = q_m.shape
     lk = k_m.shape[1]
     d = c // num_heads
@@ -428,108 +431,5 @@ def flash_decode_paired(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, lq, c), q_m.dtype),
         compiler_params=_params(("parallel", "parallel")),
-        interpret=interpret,
-    )(qs, k_m, v_m)
-
-
-# ---------------------------------------------------------------------------
-# merged-C decode kernel: heads split inside the kernel, caches stay (B, L, C)
-
-
-def _fwd_kernel_merged(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-                       *, lk: int, nh: int, d: int):
-    j = pl.program_id(2)
-    nk = pl.num_programs(2)
-
-    @pl.when(j == 0)
-    def _init():
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
-
-    q = q_ref[0].astype(F32)  # (Bq, C)
-    k = k_ref[0].astype(F32)  # (Bk, C)
-    v = v_ref[0].astype(F32)  # (Bk, C); padded tail columns are masked below
-    bk = k.shape[0]
-    col_ok = (j * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)) < lk
-    row_ok = (j * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)) < lk
-    for hh in range(nh):
-        sl = slice(hh * d, (hh + 1) * d)
-        s = jax.lax.dot_general(q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-                                preferred_element_type=F32)  # (Bq, Bk)
-        s = jnp.where(col_ok, s, NEG_INF)
-        m_prev = m_scr[:, hh : hh + 1]
-        l_prev = l_scr[:, hh : hh + 1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_scr[:, hh : hh + 1] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_scr[:, sl] = acc_scr[:, sl] * alpha + jax.lax.dot_general(
-            p, jnp.where(row_ok, v[:, sl], 0.0),
-            (((1,), (0,)), ((), ())), preferred_element_type=F32)
-        m_scr[:, hh : hh + 1] = m_new
-
-    @pl.when(j == nk - 1)
-    def _flush():
-        for hh in range(nh):
-            sl = slice(hh * d, (hh + 1) * d)
-            l_h = l_scr[:, hh : hh + 1]
-            l_safe = jnp.where(l_h == 0.0, 1.0, l_h)
-            o_ref[0, :, sl] = (acc_scr[:, sl] / l_safe).astype(o_ref.dtype)
-
-
-def flash_decode_mha(
-    q_m: jax.Array,
-    k_m: jax.Array,
-    v_m: jax.Array,
-    num_heads: int,
-    scale: float = 1.0,
-    block_q: int = 256,
-    block_k: int = 256,
-    interpret: Optional[bool] = None,
-) -> jax.Array:
-    """Dense (maskless) decode attention over MERGED-head tensors.
-
-    q_m: (B, Lq, C), k_m/v_m: (B, Lk, C) with C = H*D — the decode KV-cache
-    storage form (heads merged so the cache tiles at C=1024 lanes with zero
-    padding, see ``models/var.init_caches``). Heads are split inside the
-    kernel by static lane slicing, so no (B,L,H,D) transposes or padded
-    layouts ever materialize; XLA's alternative fuses a (B,H,Lq,Lk) fp32
-    logits tensor through HBM (~110 ms of a d16 bs64 decode) and drags the
-    caches into L-in-lane layouts that pad 1.5x and OOM at bs96.
-    """
-    b, lq, c = q_m.shape
-    lk = k_m.shape[1]
-    d = c // num_heads
-    if lq < 8 or lk < 8:  # tiny early stages: below tile minimum
-        q = q_m.reshape(b, lq, num_heads, d)
-        k = k_m.reshape(b, lk, num_heads, d)
-        v = v_m.reshape(b, lk, num_heads, d)
-        lg = jnp.einsum("blhd,bmhd->bhlm", q, k).astype(F32) * scale
-        pr = jax.nn.softmax(lg, axis=-1).astype(v.dtype)
-        return jnp.einsum("bhlm,bmhd->blhd", pr, v).reshape(b, lq, c)
-    if interpret is None:
-        interpret = jax.devices()[0].platform == "cpu"
-    bq = _pick_block(lq, block_q)
-    bk = _pick_block(lk, block_k)
-    qs = (q_m.astype(F32) * scale).astype(q_m.dtype)
-    grid = (b, pl.cdiv(lq, bq), pl.cdiv(lk, bk))
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel_merged, lk=lk, nh=num_heads, d=d),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, c), lambda i, qi, ki: (i, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, c), lambda i, qi, ki: (i, ki, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, c), lambda i, qi, ki: (i, ki, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, bq, c), lambda i, qi, ki: (i, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, lq, c), q_m.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bq, num_heads), F32),  # running max per head
-            pltpu.VMEM((bq, num_heads), F32),  # running denominator per head
-            pltpu.VMEM((bq, c), F32),          # output accumulator
-        ],
-        compiler_params=_params(("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(qs, k_m, v_m)

@@ -20,7 +20,6 @@ import datetime
 import inspect
 import json
 import os
-import time
 from collections import deque
 from typing import Optional, Tuple
 
@@ -125,9 +124,6 @@ class MetricLogger:
     def __init__(self, delimiter: str = "  "):
         self.meters: dict = {}
         self.delimiter = delimiter
-        self.iter_time = SmoothedValue(fmt="{avg:.4f}")
-        self.data_time = SmoothedValue(fmt="{avg:.4f}")
-        self.log_iters: set = set()
 
     def update(self, **kwargs):
         for k, v in kwargs.items():
@@ -138,26 +134,13 @@ class MetricLogger:
     def __str__(self):
         return self.delimiter.join(f"{k}: {m}" for k, m in self.meters.items())
 
-    def log_every(self, iterable, print_freq: int, header: str = ""):
-        total = len(iterable) if hasattr(iterable, "__len__") else None
-        if total:
-            marks = np.linspace(0, total - 1, print_freq, dtype=int).tolist()
-            self.log_iters = set(marks)
-        start = time.time()
-        end = time.time()
-        for i, obj in enumerate(iterable):
-            self.data_time.update(time.time() - end)
-            yield i, obj
-            self.iter_time.update(time.time() - end)
-            if total and i in self.log_iters:
-                remain_str, finish = self.iter_time.eta(total - i - 1)
-                log(
-                    f"{header} [{i:4d}/{total}] {self} "
-                    f"iter: {self.iter_time} data: {self.data_time} ETA {remain_str} ({finish})",
-                )
-            end = time.time()
-        if total:
-            log(f"{header} Total: {datetime.timedelta(seconds=int(time.time()-start))}")
+    def eta(self, meter: str, n_remaining: int) -> str:
+        """ETA string from the named per-step-seconds meter (the reference
+        interleaves this into its iteration log lines, misc.py:303-307)."""
+        if meter not in self.meters:
+            return "?"
+        left, finish = self.meters[meter].eta(n_remaining)
+        return f"ETA {left} ({finish})"
 
 
 class TensorboardLogger:
@@ -190,6 +173,20 @@ class TensorboardLogger:
             if v is None:
                 continue
             self.writer.add_scalar(f"{head}/{k}", float(v), s)
+
+    def log_tensor_as_distri(self, tag: str, tensor, step: Optional[int] = None):
+        """Histogram of a tensor's values (reference ``misc.py:155-165``)."""
+        if not self.writer:
+            return
+        self.writer.add_histogram(tag, np.asarray(tensor, np.float32).ravel(),
+                                  self.step if step is None else step)
+
+    def log_image(self, tag: str, img_chw, step: Optional[int] = None):
+        """CHW image in [0, 1] (reference ``misc.py:167-174``)."""
+        if not self.writer:
+            return
+        self.writer.add_image(tag, np.asarray(img_chw),
+                              self.step if step is None else step)
 
     def flush(self):
         if self.writer:
