@@ -1,0 +1,157 @@
+"""Pin the paired-head Pallas decode kernel at PRODUCTION geometry.
+
+``flash_decode_paired`` is the TPU decode hot path (``models/var.py``
+``attn_apply``: impl="pallas" + head_dim 64) and the source of the headline
+img/s number — these tests run it in interpret mode on CPU at the real
+head_dim-64 envelope (every other test config uses head_dim 16, which
+bypasses it entirely):
+
+* direct kernel vs the XLA dot-general pair across Lq from 1 token to
+  multi-q-block, Lk at non-multiples of 8 (tail-block masking), b > 1,
+  non-trivial scale;
+* the attn_apply envelope seam: shrink ``var.PAIRED_VMEM_BUDGET`` so a
+  mid-pyramid stage crosses from the paired kernel to the XLA fallback and
+  assert both halves agree;
+* end-to-end greedy ``decode_cfg`` equality pallas-vs-xla at a head_dim-64
+  config — the kernel that ships cannot silently produce wrong tokens.
+
+Reference behavior matched: attention backends are interchangeable
+(``models/basic_var.py:96-117``).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from var_tpu.config import VAEConfig, VARConfig
+from var_tpu.models import var as var_mod
+from var_tpu.ops.pallas.flash_attention import flash_decode_paired
+
+F32 = jnp.float32
+
+
+def _ref_decode_attn(q_m, k_m, v_m, h, scale):
+    """Plain fp32 einsum attention over merged-head tensors."""
+    b, lq, c = q_m.shape
+    lk = k_m.shape[1]
+    d = c // h
+    q = q_m.reshape(b, lq, h, d).astype(F32)
+    k = k_m.reshape(b, lk, h, d).astype(F32)
+    v = v_m.reshape(b, lk, h, d).astype(F32)
+    lg = jnp.einsum("blhd,bmhd->bhlm", q, k) * scale
+    p = jax.nn.softmax(lg, axis=-1)
+    return jnp.einsum("bhlm,bmhd->blhd", p, v).reshape(b, lq, c)
+
+
+@pytest.mark.parametrize("h,lq,lk", [
+    (2, 1, 9),      # single-token stage, tiny non-multiple-of-8 cache
+    (2, 9, 100),    # 3x3 stage, cache not a multiple of 8
+    (2, 100, 341),  # 10x10 stage, odd cache length
+    (4, 256, 680),  # full final 256px stage length at 4 heads
+    (2, 300, 651),  # Lq straddles two q-blocks (block_q=256); odd Lk
+    (16, 36, 91),   # d16 head count at C=1024
+])
+def test_paired_kernel_matches_reference(h, lq, lk):
+    c = 64 * h  # head_dim 64 — the production envelope
+    r = jax.random.PRNGKey(lq * 1000 + lk)
+    rq, rk, rv = jax.random.split(r, 3)
+    q = jax.random.normal(rq, (2, lq, c), F32)
+    k = jax.random.normal(rk, (2, lk, c), F32)
+    v = jax.random.normal(rv, (2, lk, c), F32)
+    scale = 0.17
+    want = _ref_decode_attn(q, k, v, h, scale)
+    got = flash_decode_paired(q, k, v, h, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_paired_kernel_bf16_inputs():
+    """bf16 q/k/v (the decode cache dtype): fp32 softmax inside, bf16 out."""
+    h, lq, lk = 2, 36, 119
+    c = 64 * h
+    r = jax.random.PRNGKey(0)
+    rq, rk, rv = jax.random.split(r, 3)
+    q = jax.random.normal(rq, (2, lq, c), F32).astype(jnp.bfloat16)
+    k = jax.random.normal(rk, (2, lk, c), F32).astype(jnp.bfloat16)
+    v = jax.random.normal(rv, (2, lk, c), F32).astype(jnp.bfloat16)
+    want = _ref_decode_attn(q, k, v, h, 0.125)
+    got = flash_decode_paired(q, k, v, h, 0.125)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
+                               rtol=0.05, atol=0.05)
+
+
+PNS = (1, 2, 3, 4, 5, 6)  # ends 1, 5, 14, 30, 55, 91
+
+
+def _stage_cfg(h=2):
+    return VARConfig(num_classes=6, depth=2, embed_dim=64 * h, num_heads=h,
+                     patch_nums=PNS, vocab_size=32, z_channels=8,
+                     attn_l2_norm=True, cond_drop_rate=0.0)
+
+
+def _run_stages(cfg, params, attn_impl):
+    cond = jnp.take(params["class_emb"], jnp.array([0, 3]), axis=0)
+    ctx = var_mod.cond_context(params, cfg, cond)
+    outs, caches = [], None
+    for i, pn in enumerate(cfg.patch_nums):
+        x = jax.random.normal(jax.random.PRNGKey(i), (2, pn * pn, cfg.embed_dim))
+        x, caches = var_mod.transformer_stage(params, cfg, x, ctx, caches,
+                                              dtype=F32, attn_impl=attn_impl)
+        outs.append(x)
+    return outs
+
+
+def test_attn_apply_paired_envelope_seam(monkeypatch):
+    """Stages inside the VMEM envelope take the paired kernel, stages beyond
+    it take XLA — both must agree with the pure-XLA decode. Budget shrunk so
+    the seam lands mid-pyramid (Lk <= 30 paired, Lk > 30 XLA)."""
+    cfg = _stage_cfg(h=2)
+    monkeypatch.setattr(var_mod, "PAIRED_VMEM_BUDGET", 30 * 4 * cfg.embed_dim)
+    params = var_mod.init_var_params(jax.random.PRNGKey(0), cfg)
+    want = _run_stages(cfg, params, "xla")
+    got = _run_stages(cfg, params, "pallas")
+    for si, (a, b) in enumerate(zip(want, got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"stage {si} diverged")
+
+
+def test_attn_apply_paired_full_pyramid():
+    """All eligible stages through the paired kernel (default envelope)."""
+    cfg = _stage_cfg(h=4)
+    params = var_mod.init_var_params(jax.random.PRNGKey(1), cfg)
+    want = _run_stages(cfg, params, "xla")
+    got = _run_stages(cfg, params, "pallas")
+    for si, (a, b) in enumerate(zip(want, got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"stage {si} diverged")
+
+
+@pytest.mark.slow
+def test_greedy_decode_cfg_pallas_matches_xla():
+    """End-to-end greedy decode at head_dim-64 geometry: token-for-token and
+    image equality between the paired-kernel path and the XLA path."""
+    from var_tpu.engine.sampler import decode_cfg
+
+    h = 2
+    var_cfg = _stage_cfg(h=h)
+    vae_cfg = VAEConfig(vocab_size=32, z_channels=8, ch=32, ch_mult=(1, 1),
+                        v_patch_nums=PNS)
+    from var_tpu.models import vae as vae_mod
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    vae_params = vae_mod.init_vae_params(k1, vae_cfg)
+    var_params = var_mod.init_var_params(k2, var_cfg)
+    label = jnp.array([1, 4])
+    res_x = decode_cfg(var_params, vae_params, var_cfg, vae_cfg,
+                       jax.random.PRNGKey(0), label, cfg_scale=1.5,
+                       top_k=1, top_p=0.0, dtype=F32, attn_impl="xla")
+    res_p = decode_cfg(var_params, vae_params, var_cfg, vae_cfg,
+                       jax.random.PRNGKey(0), label, cfg_scale=1.5,
+                       top_k=1, top_p=0.0, dtype=F32, attn_impl="pallas")
+    np.testing.assert_array_equal(np.asarray(res_p.tokens), np.asarray(res_x.tokens))
+    np.testing.assert_allclose(np.asarray(res_p.image), np.asarray(res_x.image),
+                               rtol=1e-4, atol=1e-4)
