@@ -153,6 +153,43 @@ def test_data_parallel_step_on_mesh():
     assert max(jax.tree_util.tree_leaves(d)) < 1e-5
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("mp", [2, 4])
+def test_tensor_parallel_step_on_mesh(mp):
+    """A (data=8/mp, model=mp) train step equals the replicated single-device
+    step numerically (loss + updated params) — pins the TP rules' psum
+    placement, not just finiteness. Mirrors the DP equality test above."""
+    from var_tpu.parallel import mesh as pm
+
+    vae_cfg, var_cfg, vae_params, var_params = tiny_setup()
+    dp = 8 // mp
+    args = TrainArgs(depth=2, bs=8, ac=1, ep=2, pn="1_2_3").finalize(world_size=dp)
+    init_state, step = tr.make_train_step(
+        var_cfg, vae_cfg, args, iters_per_ep=4, dtype=jnp.float32
+    )
+    mesh = pm.make_mesh(model_parallel=mp)
+    assert mesh.shape["data"] == dp and mesh.shape["model"] == mp
+    imgs = jax.random.uniform(jax.random.PRNGKey(3), (1, 8, 6, 6, 3)) * 2 - 1
+    labels = jnp.arange(8).reshape(1, 8) % 6
+
+    state = init_state(var_params)
+    state_sh = tr.TrainState(
+        pm.shard_var_params(mesh, state.params),
+        jax.device_put(state.opt_state, pm.replicated(mesh)),
+        jax.device_put(state.step, pm.replicated(mesh)),
+    )
+    vae_sh = jax.device_put(vae_params, pm.replicated(mesh))
+    bsp = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data"))
+    s1, m1 = step(state_sh, vae_sh, jax.device_put(imgs, bsp),
+                  jax.device_put(labels, bsp), jax.random.PRNGKey(4),
+                  jnp.int32(0), jnp.float32(1.0))
+    s0, m0 = step(state, vae_params, imgs, labels, jax.random.PRNGKey(4),
+                  jnp.int32(0), jnp.float32(1.0))
+    np.testing.assert_allclose(float(m1.loss), float(m0.loss), rtol=1e-5)
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), s0.params, s1.params)
+    assert max(jax.tree_util.tree_leaves(d)) < 1e-5
+
+
 def test_gather_diff_shape():
     """dist.allgather_diff_shape equivalent: pad + all_gather + lengths."""
     from functools import partial
