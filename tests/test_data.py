@@ -84,6 +84,42 @@ def test_dataloader_yields_batches(folder):
     assert imgs.shape == (3, 64, 64, 3) and labels.shape == (3,)
 
 
+def test_augmentation_deterministic_across_threading(folder):
+    """Random crops/flips are keyed by (seed, epoch, index): identical
+    batches regardless of thread count, and stable under re-iteration —
+    the property the bit-exact resume test relies on."""
+    ds = FolderDataset(folder)
+    batches = [[0, 3, 7], [1, 4, 8], [2, 5, 6]]
+    tf = make_transform(48, train=True, hflip=True)
+
+    def run(num_threads):
+        dl = DataLoader(ds, list(batches), tf, num_threads=num_threads, seed=5)
+        return list(dl)
+
+    a, b = run(1), run(8)
+    assert len(a) == len(b) == 3
+    for (ia, la), (ib, lb) in zip(a, b):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(la, lb)
+    # different seed -> different crops (the streams are actually live)
+    dl2 = DataLoader(ds, list(batches), tf, num_threads=4, seed=6)
+    other = next(iter(dl2))[0]
+    assert np.abs(other - a[0][0]).max() > 0
+
+
+def test_sampler_epoch_changes_augmentation(folder):
+    """The same dataset index draws different crops in different epochs
+    (epoch is part of the stream key), but the same crop within one."""
+    from var_tpu.data.imagenet import sample_rng
+
+    r_a = sample_rng(1, 1, 42)
+    r_b = sample_rng(1, 1, 42)
+    r_c = sample_rng(1, 2, 42)
+    a, b, c = r_a.random(4), r_b.random(4), r_c.random(4)
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 0
+
+
 def test_native_loader_matches_pil(folder):
     native = pytest.importorskip("var_tpu.data.native_loader")
     if not native.available():

@@ -36,10 +36,12 @@ def _make_tiny_dataset(root, n_classes=2, per_class=8, size=48):
 
 
 def _train_cmd(data, out, ckpt_iters):
-    # mid_reso=1.0 makes the crop deterministic so runs are comparable
+    # full augmentation ON (random crop via mid_reso default 1.125 + hflip):
+    # per-sample (seed, epoch, index) streams make it restart-invariant, so
+    # the resumed run must still be bit-exact
     return [sys.executable, os.path.join(ROOT, "train.py"),
             f"--data_path={data}", "--depth=2", "--bs=8", "--ep=2",
-            "--pn=1_2_3", "--mid_reso=1.0", "--seed=1", "--val_freq_ep=100",
+            "--pn=1_2_3", "--hflip=1", "--seed=1", "--val_freq_ep=100",
             "--workers=2", f"--local_out_dir_path={out}",
             f"--ckpt_iters={ckpt_iters}"]
 

@@ -151,12 +151,15 @@ def main():
                 num_threads=args.workers or 16)
             log("using native C++ image pipeline")
         train_iter = iter(DataLoader(
-            train_ds, iter(sampler), make_transform(args.data_load_reso, args.mid_reso,
-                                                    train=True, hflip=args.hflip),
-            # rank-offset augmentation seed (arg_util.seed_everything rule,
-            # reference arg_util.py:113-127)
+            # pass the sampler OBJECT: augmentation streams are keyed by
+            # (seed, epoch, dataset index) — thread-safe, restart-invariant
+            # and world-size-invariant (supersedes the reference's
+            # rank-offset worker seeding, arg_util.py:113-127; global
+            # dataset indices are disjoint across ranks already)
+            train_ds, sampler, make_transform(args.data_load_reso, args.mid_reso,
+                                              train=True, hflip=args.hflip),
             num_threads=args.workers or 16,
-            seed=(args.seed or 0) * nproc + proc,
+            seed=args.seed or 0,
             batch_transform=batch_tf,
         ))
 

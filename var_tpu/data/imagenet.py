@@ -190,11 +190,29 @@ class DistInfiniteBatchSampler:
 # prefetching loader
 
 
+def sample_rng(seed: int, epoch: int, index: int) -> np.random.Generator:
+    """Augmentation stream for one (epoch, dataset-index) pair.
+
+    Keying the generator by (seed, epoch, index) makes augmentation
+    thread-safe (each concurrent load owns a private generator),
+    restart-invariant (a resumed run redraws the identical crop/flip the
+    uninterrupted run would) and world-size-invariant — which supersedes the
+    reference's shared per-worker streams with rank-offset seeds
+    (``arg_util.py:113-127``): those reproduce only under the same worker
+    count and schedule."""
+    return np.random.default_rng([int(seed), int(epoch), int(index)])
+
+
 class DataLoader:
     """Thread-pooled prefetching loader -> (imgs NHWC float32, labels int32).
 
     Replaces torch DataLoader workers (``train.py:42-61``); decode/resize
     happen on host threads overlapping TPU steps.
+
+    ``batch_iter`` may be the sampler OBJECT (anything iterable); if it
+    exposes an ``epoch`` attribute (``DistInfiniteBatchSampler`` does) the
+    per-sample augmentation streams are keyed by (seed, epoch, index) via
+    :func:`sample_rng`, otherwise epoch 0 is used.
     """
 
     def __init__(self, dataset: FolderDataset, batch_iter, transform: Callable,
@@ -211,30 +229,33 @@ class DataLoader:
     def __iter__(self):
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        epoch_src = self.batch_iter if hasattr(self.batch_iter, "epoch") else None
+        it = iter(self.batch_iter)
 
         def producer():
             from concurrent.futures import ThreadPoolExecutor
 
             if self.batch_tf is not None:  # native C++ path: one call per batch
-                rng = np.random.default_rng(self.seed)
-                for idxs in self.batch_iter:
+                for idxs in it:
                     if stop.is_set():
                         return
+                    ep = epoch_src.epoch if epoch_src is not None else 0
                     paths = [self.ds.samples[i][0] for i in idxs]
                     labels = np.asarray([self.ds.samples[i][1] for i in idxs], np.int32)
-                    q.put((self.batch_tf(paths, rng), labels))
+                    rngs = [sample_rng(self.seed, ep, i) for i in idxs]
+                    q.put((self.batch_tf(paths, rngs), labels))
                 q.put(None)
                 return
-            rngs = [np.random.default_rng(self.seed + i) for i in range(self.num_threads)]
             with ThreadPoolExecutor(self.num_threads) as pool:
-                for bi, idxs in enumerate(self.batch_iter):
+                for idxs in it:
                     if stop.is_set():
                         return
-                    def load(args):
-                        slot, i = args
+                    ep = epoch_src.epoch if epoch_src is not None else 0
+
+                    def load(i, ep=ep):
                         path, label = self.ds.samples[i]
-                        return self.tf(path, rngs[slot % self.num_threads]), label
-                    out = list(pool.map(load, enumerate(idxs)))
+                        return self.tf(path, sample_rng(self.seed, ep, i)), label
+                    out = list(pool.map(load, idxs))
                     imgs = np.stack([o[0] for o in out]).astype(np.float32)
                     labels = np.asarray([o[1] for o in out], np.int32)
                     q.put((imgs, labels))

@@ -126,16 +126,21 @@ def make_native_batch_transform(final_reso: int, mid_reso: float = 1.125,
                                 train: bool = True, hflip: bool = False,
                                 num_threads: int = 16):
     """Whole-batch transform: one FFI call decodes/resizes/crops N images in
-    C++ threads (GIL released) — used by ``imagenet.DataLoader``."""
+    C++ threads (GIL released) — used by ``imagenet.DataLoader``.
+
+    ``rngs``: one per-sample ``np.random.Generator`` per path (see
+    ``imagenet.sample_rng``) so crop/flip draws are deterministic per
+    (seed, epoch, dataset-index) regardless of batching or threading."""
     mid = round(mid_reso * final_reso)
 
-    def tf(paths: Sequence[str], rng: np.random.Generator) -> np.ndarray:
+    def tf(paths: Sequence[str], rngs: Sequence[np.random.Generator]) -> np.ndarray:
         n = len(paths)
         if train:
             crops = np.empty((n, 3), np.float32)
-            crops[:, 0] = rng.random(n)
-            crops[:, 1] = rng.random(n)
-            crops[:, 2] = (rng.random(n) < 0.5) if hflip else 0.0
+            for i, rng in enumerate(rngs):
+                crops[i, 0] = rng.random()
+                crops[i, 1] = rng.random()
+                crops[i, 2] = (rng.random() < 0.5) if hflip else 0.0
         else:
             crops = None
         return load_batch(paths, mid, final_reso, crops, num_threads)
