@@ -52,29 +52,46 @@ def top_k_top_p_mask(logits: jax.Array, top_k: int = 0, top_p: float = 0.0) -> j
 
 def sample_with_top_k_top_p(
     rng: jax.Array, logits: jax.Array, top_k: int = 0, top_p: float = 0.0,
-    approx: bool = False,
+    approx: bool = False, impl: str = "auto",
 ) -> jax.Array:
     """Sample one token per position from filtered logits. Returns int32 (...).
 
-    TPU fast path: one ``lax.top_k`` puts the candidates in descending
-    order; the top-p cutoff is then a prefix-sum test in sorted space
-    (remove rank r when the mass of strictly better ranks >= p — the
-    descending-order restatement of helpers.py:12-15, which always keeps
-    the argmax) and sampling happens over the k-wide candidate set. This
-    replaces the reference-shaped sort + two argsorts + full-vocab
-    softmax/cumsum per token; only boundary-tie handling differs (exact
-    fp32 ties at the k-th logit), which has zero probability in practice.
+    ``impl="pallas"`` (the "auto" choice on TPU when filtering is active):
+    sort-free exact selection — a Pallas kernel binary-searches the monotone
+    int32 key space for the exact k-th-largest logit and the top-p mass
+    bound with each row resident in VMEM
+    (``var_tpu.ops.pallas.select``), then sampling is a masked
+    ``jax.random.categorical`` (Gumbel-max; elementwise + argmax, no sort).
+    This IS the reference mask semantics (``helpers.py:6-36``, ties at the
+    k-th logit kept); the full-vocab ``lax.top_k`` sorts it replaces were
+    ~11% of d16 bs128 decode time.
+
+    ``impl="sorted"`` ("auto" elsewhere): one ``lax.top_k`` puts the
+    candidates in descending order; the top-p cutoff is a prefix-sum test
+    in sorted space (remove rank r when the mass of strictly better ranks
+    >= p — the descending-order restatement of helpers.py:12-15, which
+    always keeps the argmax) and sampling happens over the k-wide
+    candidate set. Differs from the mask semantics only on exact fp32 ties
+    at the k-th logit (truncates the tied group instead of keeping it).
 
     ``approx=True`` (opt-in, non-parity): ``lax.approx_max_k`` instead of
     the exact sort — the TPU PartialReduce unit selects the candidate set,
     which may swap a few near-boundary candidates (rank ~k) whose softmax
-    mass is negligible at V=4096/k=900. The full-vocab sorts are ~12% of
-    d16 decode time; this trades exact reference candidate-set parity for
-    most of that.
+    mass is negligible at V=4096/k=900.
     """
     v = logits.shape[-1]
     lf = logits.astype(jnp.float32)
     k = top_k if top_k > 0 else v
+    if top_k <= 0 and top_p <= 0.0:  # no filtering: plain categorical
+        return jax.random.categorical(rng, lf, axis=-1).astype(jnp.int32)
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "sorted"
+    if impl == "pallas" and not approx:
+        from var_tpu.ops.pallas.select import float_key, topk_topp_bound
+
+        bound = topk_topp_bound(lf, top_k, top_p)
+        masked = jnp.where(float_key(lf) >= bound[..., None], lf, _NEG_INF)
+        return jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
     if approx and k < v:
         vals, idx = jax.lax.approx_max_k(lf, k, recall_target=0.95)
     else:
