@@ -48,7 +48,12 @@ def bench_train(batch: int, iters: int, smoke: bool = False):
         vae_cfg = VAEConfig()
         var_cfg = VARConfig.from_depth(16, attn_l2_norm=True)
         args = TrainArgs(depth=16, bs=batch, ac=1, ep=200, fp16=1).finalize(world_size=1)
-        args.remat = True  # fp32 softmax residuals OOM a 16G chip without it
+        # default: attention-core remat (mode 2) — the L x L softmax
+        # residuals are recomputed (the chip OOMs storing them) but every
+        # matmul activation is stored once; --remat 1 = whole-block remat
+        args.remat = 2
+        if "--remat" in sys.argv:
+            args.remat = int(sys.argv[sys.argv.index("--remat") + 1])
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     vae_params = vae_mod.init_vae_params(k1, vae_cfg)
     var_params = var_mod.stack_block_params(var_mod.init_var_params(k2, var_cfg))
@@ -138,6 +143,7 @@ def main():
     attn_impl = "pallas" if "--attn-pallas" in sys.argv else ("xla" if "--attn-xla" in sys.argv else "auto")
     sampler = make_sampler(var_cfg, vae_cfg, cfg_scale=1.5, top_k=900 if not smoke else 8,
                            top_p=0.96, dtype=dtype, attn_impl=attn_impl,
+                           cache_impl="prealloc" if "--cache-prealloc" in sys.argv else "concat",
                            approx_topk="--approx-topk" in sys.argv)
     labels = jnp.arange(batch, dtype=jnp.int32) % var_cfg.num_classes
 

@@ -2,7 +2,7 @@
 tokenize + forward + backward + AdamW) in images/sec/chip.
 
 Run on the TPU: python scripts/bench_train.py [--batch 32] [--iters 5]
-                [--attn pallas|xla] [--remat]
+                [--attn pallas|xla] [--remat 0|1|2] [--depth 16] [--pn 256|512]
 """
 
 import sys
@@ -26,12 +26,16 @@ def main():
 
     batch = arg("--batch", 32)
     iters = arg("--iters", 5)
+    depth = arg("--depth", 16)
+    pn = sys.argv[sys.argv.index("--pn") + 1] if "--pn" in sys.argv else "256"
     attn = "pallas" if "--attn" in sys.argv and sys.argv[sys.argv.index("--attn") + 1] == "pallas" else "xla"
 
-    vae_cfg = VAEConfig()
-    var_cfg = VARConfig.from_depth(16, attn_l2_norm=True)
-    args = TrainArgs(depth=16, bs=batch, ac=1, ep=200, fp16=1).finalize(world_size=1)
-    args.remat = "--remat" in sys.argv
+    from var_tpu.config import parse_patch_nums
+    pns = parse_patch_nums(pn)
+    vae_cfg = VAEConfig(v_patch_nums=pns)
+    var_cfg = VARConfig.from_depth(depth, attn_l2_norm=True, patch_nums=pns)
+    args = TrainArgs(depth=depth, bs=batch, ac=1, ep=200, fp16=1, pn=pn).finalize(world_size=1)
+    args.remat = arg("--remat", 2)
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     vae_params = vae_mod.init_vae_params(k1, vae_cfg)
     var_params = var_mod.stack_block_params(var_mod.init_var_params(k2, var_cfg))
@@ -39,7 +43,8 @@ def main():
     init_state, step = tr.make_train_step(var_cfg, vae_cfg, args, iters_per_ep=1000,
                                           dtype=jnp.bfloat16, attn_impl=attn)
     state = init_state(var_params)
-    imgs = jax.random.uniform(jax.random.PRNGKey(1), (1, batch, 256, 256, 3),
+    reso = pns[-1] * vae_cfg.downsample
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (1, batch, reso, reso, 3),
                               jnp.float32) * 2 - 1
     labels = (jnp.arange(batch) % 1000).reshape(1, batch).astype(jnp.int32)
 
@@ -52,7 +57,7 @@ def main():
                         jnp.int32(i), jnp.float32(1.0))
     jax.block_until_ready(state.params)
     dt = (time.perf_counter() - t0) / iters
-    print(f"train d16 bs={batch} attn={attn} remat={args.remat}: "
+    print(f"train d{depth} pn={pn} bs={batch} attn={attn} remat={args.remat}: "
           f"{dt*1000:.1f} ms/step  {batch/dt:.2f} img/s  loss={float(m.loss):.4f}")
 
 

@@ -78,6 +78,32 @@ def test_progressive_training_stage():
     assert np.isnan(np.asarray(m.per_scale_L)[2])  # scale 2 inactive
 
 
+def test_remat_modes_same_gradients():
+    """remat=1 (whole block) and remat=2 (attention-core only) must produce
+    the same loss and gradients as remat=0 — they change memory, not math."""
+    _, var_cfg, _, var_params = tiny_setup()
+    x_in = jax.random.normal(jax.random.PRNGKey(1),
+                             (2, var_cfg.seq_len - 1, var_cfg.z_channels))
+    label = jnp.array([0, 3])
+
+    def loss(params, remat):
+        logits = var_mod.var_forward(params, var_cfg, label, x_in,
+                                     dtype=jnp.float32, remat=remat)
+        return jnp.sum(jnp.sin(logits / 10.0))
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, 0))(var_params)
+    for mode in (1, 2):
+        lm, gm = jax.value_and_grad(lambda p: loss(p, mode))(var_params)
+        np.testing.assert_allclose(float(lm), float(l0), rtol=1e-6,
+                                   err_msg=f"remat={mode}")
+        for (ka, a), (kb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(g0),
+                jax.tree_util.tree_leaves_with_path(gm)):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=2e-5, atol=1e-6,
+                err_msg=f"remat={mode} grad {jax.tree_util.keystr(ka)}")
+
+
 def test_lr_schedule_matches_reference_formula():
     """Re-derive lr_control.py:10-48 math independently and compare."""
     wp_it, max_it, wp0, wpe = 10, 100, 0.005, 0.01
@@ -139,14 +165,17 @@ def test_data_parallel_step_on_mesh():
     imgs = jax.random.uniform(jax.random.PRNGKey(3), (1, 8, 6, 6, 3)) * 2 - 1
     labels = jnp.arange(8).reshape(1, 8) % 6
 
-    state = init_state(var_params)
-    state_sh = jax.device_put(state, pm.replicated(mesh))
+    # the step donates its TrainState, and device_put may alias the source
+    # buffer on device 0 — each run gets its own deep-copied params
+    state_sh = jax.device_put(init_state(jax.tree.map(jnp.copy, var_params)),
+                              pm.replicated(mesh))
     vae_sh = jax.device_put(vae_params, pm.replicated(mesh))
     imgs_sh = jax.device_put(imgs, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data")))
     labels_sh = jax.device_put(labels, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data")))
     s1, m1 = step(state_sh, vae_sh, imgs_sh, labels_sh, jax.random.PRNGKey(4),
                   jnp.int32(0), jnp.float32(1.0))
-    s0, m0 = step(state, vae_params, imgs, labels, jax.random.PRNGKey(4),
+    s0, m0 = step(init_state(var_params), vae_params,
+                  imgs, labels, jax.random.PRNGKey(4),
                   jnp.int32(0), jnp.float32(1.0))
     np.testing.assert_allclose(float(m1.loss), float(m0.loss), rtol=1e-5)
     d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), s0.params, s1.params)
@@ -172,7 +201,9 @@ def test_tensor_parallel_step_on_mesh(mp):
     imgs = jax.random.uniform(jax.random.PRNGKey(3), (1, 8, 6, 6, 3)) * 2 - 1
     labels = jnp.arange(8).reshape(1, 8) % 6
 
-    state = init_state(var_params)
+    # the step donates its TrainState, and device_put may alias the source
+    # buffer on device 0 — each run gets its own deep-copied params
+    state = init_state(jax.tree.map(jnp.copy, var_params))
     state_sh = tr.TrainState(
         pm.shard_var_params(mesh, state.params),
         jax.device_put(state.opt_state, pm.replicated(mesh)),
@@ -183,7 +214,8 @@ def test_tensor_parallel_step_on_mesh(mp):
     s1, m1 = step(state_sh, vae_sh, jax.device_put(imgs, bsp),
                   jax.device_put(labels, bsp), jax.random.PRNGKey(4),
                   jnp.int32(0), jnp.float32(1.0))
-    s0, m0 = step(state, vae_params, imgs, labels, jax.random.PRNGKey(4),
+    s0, m0 = step(init_state(var_params), vae_params,
+                  imgs, labels, jax.random.PRNGKey(4),
                   jnp.int32(0), jnp.float32(1.0))
     np.testing.assert_allclose(float(m1.loss), float(m0.loss), rtol=1e-5)
     d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), s0.params, s1.params)

@@ -161,7 +161,8 @@ class TrainArgs:
     pgwp: float = 0.0
     # misc
     seed: Optional[int] = None
-    remat: bool = False  # rematerialize blocks in backward (d30/d36 memory knob)
+    remat: int = 0  # 0 off; 1 whole-block remat (d30/d36 fit knob);
+    #                 2 attention-core only (d16-class memory/FLOP sweet spot)
     dbg_nan: bool = False  # enable jax debug_nans/debug_infs (arg_util.py:137)
     local_out_dir_path: str = "local_output"
     tb_log_dir_path: str = ""

@@ -220,6 +220,7 @@ def make_sampler(
     attn_impl: str = "auto",
     inpainting: bool = False,
     kv_window: Optional[int] = None,
+    cache_impl: str = "concat",
     approx_topk: bool = False,
 ):
     """Compiled sampler: (var_params, vae_params, rng, label_b[, gt, mask])
@@ -241,6 +242,7 @@ def make_sampler(
         dtype=dtype,
         attn_impl=attn_impl,
         kv_window=kv_window,
+        cache_impl=cache_impl,
         approx_topk=approx_topk,
     )
 

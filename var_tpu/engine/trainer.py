@@ -281,7 +281,10 @@ def make_train_step(
             opt_state = dict(opt_state, scaler=scaler_init())
         return TrainState(params, opt_state, jnp.int32(0))
 
-    return init_state, jax.jit(step)
+    # donate the incoming TrainState: params + AdamW moments (~3.7G at d16)
+    # alias into the outputs instead of double-buffering across the step —
+    # the caller always rebinds (state, m = step(state, ...))
+    return init_state, jax.jit(step, donate_argnums=(0,))
 
 
 def make_eval_step(var_cfg: VARConfig, vae_cfg: VAEConfig, dtype=jnp.bfloat16, attn_impl="xla"):

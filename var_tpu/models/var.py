@@ -21,6 +21,7 @@ round-trips happen between scales.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Tuple
 
@@ -239,6 +240,7 @@ def attn_apply(
     cache_kv: Optional[Tuple[Optional[jax.Array], Optional[jax.Array]]] = None,
     impl: str = "xla",
     scale_ends: Optional[Tuple[int, ...]] = None,
+    remat_core: bool = False,
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     """Self-attention with fused QKV, zero k-bias, optional QK L2-norm and
     KV-cache append (``basic_var.py:90-119``).
@@ -265,24 +267,52 @@ def attn_apply(
     # f32 copies+broadcasts in decode); lane-range slices of the 3C output
     # are layout-clean
     qkv = x @ ap["qkv"]["kernel"].astype(dtype) + qkv_bias  # (B, L, 3C)
-    qm, km, vm = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
-    if cfg.attn_l2_norm:
-        scale = 1.0
-        scale_mul = jnp.exp(jnp.minimum(ap["scale_mul"].astype(F32),
-                                        math.log(100.0))).reshape(h)
-        # per-head L2 norm via two block-diagonal matmuls on merged lanes:
-        # sumsq_h = x^2 @ seg (C x H); inv broadcast back via seg^T. Exactly
-        # _l2norm per head, but no 4-D fp32 intermediates or lane-64 layouts.
-        seg = jnp.asarray(np.kron(np.eye(h, dtype=np.float32),
-                                  np.ones((d, 1), np.float32)))  # (C, H)
-        qf = qm.astype(F32)
-        kf = km.astype(F32)
-        inv_q = jax.lax.rsqrt(jnp.square(qf) @ seg + 1e-24) * scale_mul  # (B, L, H)
-        inv_k = jax.lax.rsqrt(jnp.square(kf) @ seg + 1e-24)
-        qm = (qf * (inv_q @ seg.T)).astype(dtype)
-        km = (kf * (inv_k @ seg.T)).astype(dtype)
-    else:
-        scale = 0.25 / math.sqrt(d)
+
+    def _split_norm(qkv_m, scale_mul_p):
+        """Merged qkv -> (q, k, v) merged (B, L, C) + static softmax scale,
+        with the optional per-head QK L2 norm applied."""
+        qm_, km_, vm_ = qkv_m[..., :c], qkv_m[..., c : 2 * c], qkv_m[..., 2 * c :]
+        if cfg.attn_l2_norm:
+            sc = 1.0
+            scale_mul = jnp.exp(jnp.minimum(scale_mul_p.astype(F32),
+                                            math.log(100.0))).reshape(h)
+            # per-head L2 norm via two block-diagonal matmuls on merged
+            # lanes: sumsq_h = x^2 @ seg (C x H); inv broadcast back via
+            # seg^T. Exactly _l2norm per head, but no 4-D fp32
+            # intermediates or lane-64 layouts.
+            seg = jnp.asarray(np.kron(np.eye(h, dtype=np.float32),
+                                      np.ones((d, 1), np.float32)))  # (C, H)
+            qf = qm_.astype(F32)
+            kf = km_.astype(F32)
+            inv_q = jax.lax.rsqrt(jnp.square(qf) @ seg + 1e-24) * scale_mul
+            inv_k = jax.lax.rsqrt(jnp.square(kf) @ seg + 1e-24)
+            qm_ = (qf * (inv_q @ seg.T)).astype(dtype)
+            km_ = (kf * (inv_k @ seg.T)).astype(dtype)
+        else:
+            sc = 0.25 / math.sqrt(d)
+        return qm_, km_, vm_, sc
+
+    if remat_core and cache_kv is None:
+        # Attention-core rematerialization (remat mode 2): everything from
+        # the fused qkv output through the attention dot is recomputed in
+        # backward, so neither the L x L softmax residuals (~23G at d16
+        # bs32) nor the fp32 QK-norm intermediates survive — only the qkv
+        # tensor itself is saved. recompute_grad is checkpoint-by-custom-vjp:
+        # jax.checkpoint expressed the same thing but XLA:TPU compile time
+        # exploded (>30 min) on remat regions inside the depth scan.
+        assert bias is None, "remat_core uses the factored mask only"
+        from var_tpu.ops.attention import recompute_grad
+
+        def _core(qkv_m, scale_mul_p):
+            qm_, km_, vm_, sc = _split_norm(qkv_m, scale_mul_p)
+            return attention(qm_.reshape(b, l, h, d), km_.reshape(b, l, h, d),
+                             vm_.reshape(b, l, h, d), sc, impl=impl,
+                             scale_ends=scale_ends).reshape(b, l, c)
+
+        out = recompute_grad(_core)(qkv, ap.get("scale_mul"))
+        return _linear(ap["proj"], out), None
+
+    qm, km, vm, scale = _split_norm(qkv, ap.get("scale_mul"))
     new_kv = None
     k_att_m = v_att_m = None  # merged (B, Lk, C) forms for the decode kernel
     if cache_kv is not None and len(cache_kv) == 4:
@@ -354,6 +384,7 @@ def block_apply(
     drop_path_mask: Optional[Tuple[jax.Array, jax.Array]] = None,
     scale_ends: Optional[Tuple[int, ...]] = None,
     ln_impl: str = "xla",
+    attn_remat: bool = False,
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     """Pre-norm AdaLN block (``basic_var.py:152-158``):
     x += dp(attn(ln(x)*(s1+1)+sh1) * g1); x += dp(ffn(ln(x)*(s2+1)+sh2) * g2).
@@ -365,13 +396,24 @@ def block_apply(
     dtype = x.dtype
     p6 = _adaln6(blk, cfg, cond_ctx)
     g1, g2, s1, s2, sh1, sh2 = [p6[:, :, i].astype(dtype) for i in range(6)]
+
+    def _mod_ln(x_, s_, sh_):
+        return _ln(x_, cfg.norm_eps) * (s_ + 1.0) + sh_
+
+    if attn_remat:
+        # remat mode 2: _ln's backward otherwise saves the fp32 cast of its
+        # input — two (depth, B, L, C) fp32 stacks (~2.7G at d16 bs32)
+        from var_tpu.ops.attention import recompute_grad
+
+        _mod_ln = recompute_grad(_mod_ln)
     if ln_impl == "pallas":
         from var_tpu.ops.pallas.fused_ln import modulated_layernorm
 
         a_in = modulated_layernorm(x, p6[:, 0, 2], p6[:, 0, 4], eps=cfg.norm_eps)
     else:
-        a_in = _ln(x, cfg.norm_eps) * (s1 + 1.0) + sh1
-    a_out, new_kv = attn_apply(blk["attn"], cfg, a_in, bias, cache_kv, impl, scale_ends)
+        a_in = _mod_ln(x, s1, sh1)
+    a_out, new_kv = attn_apply(blk["attn"], cfg, a_in, bias, cache_kv, impl,
+                               scale_ends, remat_core=attn_remat)
     a_out = a_out * g1
     if drop_path_mask is not None:
         a_out = a_out * drop_path_mask[0].astype(dtype)
@@ -381,8 +423,17 @@ def block_apply(
 
         f_in = modulated_layernorm(x, p6[:, 0, 3], p6[:, 0, 5], eps=cfg.norm_eps)
     else:
-        f_in = _ln(x, cfg.norm_eps) * (s2 + 1.0) + sh2
-    f_out = ffn_apply(blk["ffn"], f_in) * g2
+        f_in = _mod_ln(x, s2, sh2)
+    if attn_remat:
+        # remat mode 2 also re-derives the FFN hidden states: the
+        # (depth, B, L, 4C) GELU residual stacks alone are ~5.3G at d16
+        # bs32; recomputing fc1+GELU in backward costs ~1/3 of the FFN's
+        # forward matmul FLOPs
+        from var_tpu.ops.attention import recompute_grad
+
+        f_out = recompute_grad(ffn_apply)(blk["ffn"], f_in) * g2
+    else:
+        f_out = ffn_apply(blk["ffn"], f_in) * g2
     if drop_path_mask is not None:
         f_out = f_out * drop_path_mask[1].astype(dtype)
     x = x + f_out
@@ -463,11 +514,16 @@ def var_forward(
     prog_si: int = -1,
     dtype=jnp.bfloat16,
     attn_impl: str = "xla",
-    remat: bool = False,
+    remat=False,
 ) -> jax.Array:
     """Teacher-forced forward (``var.py:192-234``) -> fp32 logits (B, ed, V).
-    ``remat=True`` rematerializes each block in backward (activation memory
-    O(1) in depth — the d30/d36 training fit knob).
+
+    ``remat`` modes: 0/False off; 1/True rematerializes each WHOLE block in
+    backward (activation memory O(1) in depth — the d30/d36 fit knob, ~33%
+    extra FLOPs); 2/"attn" checkpoints only the QK-norm+attention core so
+    the L x L softmax residuals are recomputed but every matmul's
+    activations are stored once (~11% of forward matmul FLOPs re-run —
+    the d16-class sweet spot when the weights+activations otherwise fit).
 
     ``x_blcv_wo_first_l``: (B, L - first_l, Cvae) quantizer-space inputs from
     ``quantizer.idxBl_to_var_input``. ``prog_si`` >= 0 truncates the sequence
@@ -497,7 +553,8 @@ def var_forward(
     ctx = cond_context(params, cfg, cond_bd)
     x = x.astype(dtype)
     blocks = params["blocks"]
-    if remat:
+    remat_mode = {False: 0, True: 1, "attn": 2}.get(remat, remat)
+    if remat_mode == 1:
         # close over non-jax statics (cfg, mask kind, impl); checkpoint only
         # traced operands so backward rematerializes each block
         ctx_kind = None
@@ -513,6 +570,8 @@ def var_forward(
             nonlocal ctx_kind
             ctx_kind = ctx_[0]
             return _blk_remat(blk, x_, ctx_[1], drop_path_mask), None
+    elif remat_mode == 2:
+        block_fn = functools.partial(block_apply, attn_remat=True)
     else:
         block_fn = block_apply
     dp_rates = np.linspace(0.0, cfg.drop_path_rate, cfg.depth)

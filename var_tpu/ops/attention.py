@@ -12,12 +12,58 @@ avoid transposes at the callsite.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 DEFAULT_IMPL = "xla"
+
+
+def recompute_grad(fn):
+    """``jax.checkpoint`` semantics via custom_vjp + ``jax.vjp`` in the
+    backward: residuals are exactly ``fn``'s inputs; everything inside is
+    re-derived when the cotangent arrives. Emits plain HLO instead of remat
+    regions — XLA:TPU compile time exploded (>30 min at d16) on
+    checkpoint regions nested in the depth scan, while this form compiles
+    like any other graph."""
+
+    @jax.custom_vjp
+    def wrapped(*args):
+        return fn(*args)
+
+    def fwd(*args):
+        return fn(*args), args
+
+    def bwd(args, g):
+        _, vjp = jax.vjp(fn, *args)
+        return vjp(g)
+
+    wrapped.defvjp(fwd, bwd)
+    return wrapped
+
+
+def _levels_mask(lq: int, lk: int, scale_ends) -> jax.Array:
+    """(Lq, Lk) bool block-causal validity from the factored scale ends."""
+    def _levels(n):
+        pos = jnp.arange(n)
+        lvl = jnp.zeros((n,), jnp.int32)
+        for e in scale_ends:
+            lvl = lvl + (pos >= e).astype(jnp.int32)
+        return lvl
+
+    return _levels(lk)[None, :] <= _levels(lq)[:, None]
+
+
+def _dense_probs(q, k, scale, scale_ends):
+    logits = jnp.einsum("blhd,bmhd->bhlm", q, k).astype(jnp.float32) * scale
+    if scale_ends is not None:
+        logits = jnp.where(_levels_mask(q.shape[1], k.shape[1], scale_ends)[None, None],
+                           logits, -jnp.inf)
+    return jax.nn.softmax(logits, axis=-1)
+
+
 
 
 def attention(
@@ -47,23 +93,15 @@ def attention(
         from var_tpu.ops.pallas.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale, scale_ends=scale_ends)
-    logits = jnp.einsum("blhd,bmhd->bhlm", q, k).astype(jnp.float32) * scale
-    if scale_ends is not None:
+    if bias is None:
         # factored block-causal mask: level(p) = #{e in ends : p >= e};
         # attend where key-level <= query-level. Computed from iotas in
         # place of an L x L bias constant — AD saved a (depth, B, H, L, L)
         # fp32 broadcast of the bias tensor as a scan residual (8 GB at
         # d16 bs16), where this form is recomputed for free.
-        def _levels(n):
-            pos = jnp.arange(n)
-            lvl = jnp.zeros((n,), jnp.int32)
-            for e in scale_ends:
-                lvl = lvl + (pos >= e).astype(jnp.int32)
-            return lvl
-
-        ok = _levels(k.shape[1])[None, :] <= _levels(q.shape[1])[:, None]
-        logits = jnp.where(ok[None, None], logits, -jnp.inf)
-    elif bias is not None:
-        logits = logits + bias.astype(jnp.float32)
+        probs = _dense_probs(q, k, scale, scale_ends).astype(v.dtype)
+        return jnp.einsum("bhlm,bmhd->blhd", probs, v)
+    logits = jnp.einsum("blhd,bmhd->bhlm", q, k).astype(jnp.float32) * scale
+    logits = logits + bias.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhlm,bmhd->blhd", probs, v)
