@@ -155,3 +155,28 @@ def test_greedy_decode_cfg_pallas_matches_xla():
     np.testing.assert_array_equal(np.asarray(res_p.tokens), np.asarray(res_x.tokens))
     np.testing.assert_allclose(np.asarray(res_p.image), np.asarray(res_x.image),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_decode_cache_prealloc_matches_concat():
+    """Preallocated in-place KV caches (``var.init_prealloc_caches``) are a
+    pure storage change: with the same rng, real top-k/top-p sampling must
+    produce identical tokens and images to the grow-by-concat caches — the
+    attention at every stage sees the same (B, Lk, C) values either way."""
+    from var_tpu.engine.sampler import decode_cfg
+    from var_tpu.models import vae as vae_mod
+
+    var_cfg = _stage_cfg(h=2)
+    vae_cfg = VAEConfig(vocab_size=32, z_channels=8, ch=32, ch_mult=(1, 1),
+                        v_patch_nums=PNS)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    vae_params = vae_mod.init_vae_params(k1, vae_cfg)
+    var_params = var_mod.init_var_params(k2, var_cfg)
+    label = jnp.array([2, 5])
+    kw = dict(cfg_scale=1.5, top_k=8, top_p=0.9, dtype=F32, attn_impl="xla")
+    res_c = decode_cfg(var_params, vae_params, var_cfg, vae_cfg,
+                       jax.random.PRNGKey(3), label, cache_impl="concat", **kw)
+    res_p = decode_cfg(var_params, vae_params, var_cfg, vae_cfg,
+                       jax.random.PRNGKey(3), label, cache_impl="prealloc", **kw)
+    np.testing.assert_array_equal(np.asarray(res_p.tokens), np.asarray(res_c.tokens))
+    np.testing.assert_allclose(np.asarray(res_p.image), np.asarray(res_c.image),
+                               rtol=1e-5, atol=1e-5)

@@ -86,9 +86,10 @@ def test_remat_modes_same_gradients():
                              (2, var_cfg.seq_len - 1, var_cfg.z_channels))
     label = jnp.array([0, 3])
 
-    def loss(params, remat):
+    def loss(params, remat, attn_impl="xla"):
         logits = var_mod.var_forward(params, var_cfg, label, x_in,
-                                     dtype=jnp.float32, remat=remat)
+                                     dtype=jnp.float32, remat=remat,
+                                     attn_impl=attn_impl)
         return jnp.sum(jnp.sin(logits / 10.0))
 
     l0, g0 = jax.value_and_grad(lambda p: loss(p, 0))(var_params)
@@ -102,6 +103,17 @@ def test_remat_modes_same_gradients():
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), rtol=2e-5, atol=1e-6,
                 err_msg=f"remat={mode} grad {jax.tree_util.keystr(ka)}")
+
+    # hybrid = flash primal (interpret mode on CPU) + dense backward; the
+    # primal differs only by accumulation order, the gradient is the dense
+    # VJP evaluated at the same inputs — both must agree with remat=0
+    lh, gh = jax.value_and_grad(lambda p: loss(p, 2, "hybrid"))(var_params)
+    np.testing.assert_allclose(float(lh), float(l0), rtol=1e-4)
+    for (ka, a), (kb, b) in zip(jax.tree_util.tree_leaves_with_path(g0),
+                                jax.tree_util.tree_leaves_with_path(gh)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
+            err_msg=f"hybrid grad {jax.tree_util.keystr(ka)}")
 
 
 def test_lr_schedule_matches_reference_formula():

@@ -78,10 +78,13 @@ def decode_tokens_cfg(
 
     f_hat = jnp.zeros((b, pns[-1], pns[-1], vae_cfg.z_channels), F32)
     caches = None  # full (never-pruned) cache (kv_window bookkeeping only)
-    # KV cache representation: grow-by-concat measures faster at bs<=64
-    # (XLA picks an L-minor cache layout and a preallocated carry forces
-    # full-buffer layout copies between stages); prealloc exists for
-    # larger-batch experiments (var.init_prealloc_caches)
+    # KV cache representation (d16 bs images/s, one v5e chip): prealloc
+    # in-place beats concat at equal batch (bs64: 94.9 vs 90.9; bs80: 95.5
+    # = peak — same throughput as concat bs128 at 40% less latency) but its
+    # full-length carries pin 2 x depth x 2B x L x C HBM for the whole
+    # decode, so bs96+ OOMs where concat still fits (concat bs128: 95.7,
+    # the throughput headline). Default stays concat; pass
+    # cache_impl="prealloc" for latency-bound serving at bs<=80.
     attend = None
     if kv_window is None and cache_impl == "prealloc":
         attend = var_mod.init_prealloc_caches(var_cfg, 2 * b, dtype=dtype)

@@ -303,13 +303,22 @@ def attn_apply(
         assert bias is None, "remat_core uses the factored mask only"
         from var_tpu.ops.attention import recompute_grad
 
-        def _core(qkv_m, scale_mul_p):
+        def _core(qkv_m, scale_mul_p, impl_=impl):
             qm_, km_, vm_, sc = _split_norm(qkv_m, scale_mul_p)
             return attention(qm_.reshape(b, l, h, d), km_.reshape(b, l, h, d),
-                             vm_.reshape(b, l, h, d), sc, impl=impl,
+                             vm_.reshape(b, l, h, d), sc, impl=impl_,
                              scale_ends=scale_ends).reshape(b, l, c)
 
-        out = recompute_grad(_core)(qkv, ap.get("scale_mul"))
+        if impl == "hybrid":
+            # flash primal (no L x L tensor in forward) + dense XLA backward
+            # (whose recompute-and-VJP beats the flash VJP at L=680): the
+            # fast half of each, picked per measurement (BENCH_extra.json)
+            wrapped = recompute_grad(
+                functools.partial(_core, impl_="pallas"),
+                bwd_fn=functools.partial(_core, impl_="xla"))
+        else:
+            wrapped = recompute_grad(_core)
+        out = wrapped(qkv, ap.get("scale_mul"))
         return _linear(ap["proj"], out), None
 
     qm, km, vm, scale = _split_norm(qkv, ap.get("scale_mul"))

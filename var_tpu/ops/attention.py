@@ -21,13 +21,18 @@ import jax.numpy as jnp
 DEFAULT_IMPL = "xla"
 
 
-def recompute_grad(fn):
+def recompute_grad(fn, bwd_fn=None):
     """``jax.checkpoint`` semantics via custom_vjp + ``jax.vjp`` in the
     backward: residuals are exactly ``fn``'s inputs; everything inside is
     re-derived when the cotangent arrives. Emits plain HLO instead of remat
     regions — XLA:TPU compile time exploded (>30 min at d16) on
     checkpoint regions nested in the depth scan, while this form compiles
-    like any other graph."""
+    like any other graph.
+
+    ``bwd_fn``: optional numerically-equivalent implementation whose VJP is
+    used in the backward instead of ``fn``'s — e.g. a flash-attention primal
+    (no L x L tensor in forward) paired with a dense backward (XLA's
+    attention VJP beats the flash VJP at L=680, BENCH_extra.json)."""
 
     @jax.custom_vjp
     def wrapped(*args):
@@ -37,7 +42,7 @@ def recompute_grad(fn):
         return fn(*args), args
 
     def bwd(args, g):
-        _, vjp = jax.vjp(fn, *args)
+        _, vjp = jax.vjp(bwd_fn if bwd_fn is not None else fn, *args)
         return vjp(g)
 
     wrapped.defvjp(fwd, bwd)
