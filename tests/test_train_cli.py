@@ -1,5 +1,8 @@
 """End-to-end train CLI smoke (subprocess): 2-step local_debug with
-checkpoint round-trip, then auto-resume on re-invocation."""
+checkpoint round-trip; a re-invocation over the same out_dir must start
+FRESH (local_debug never auto-resumes from leftovers — real resume is
+covered end-to-end by ``test_resume.py``, which kills a run mid-epoch and
+asserts bit-exact continuation via ``auto_resume``)."""
 
 import os
 import subprocess
@@ -11,7 +14,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.slow
-def test_local_debug_smoke_and_resume(tmp_path):
+def test_local_debug_smoke_is_always_fresh(tmp_path):
     env = dict(os.environ,
                VAR_TPU_FORCE_CPU="1",
                XLA_FLAGS="--xla_force_host_platform_device_count=8")
@@ -24,9 +27,12 @@ def test_local_debug_smoke_and_resume(tmp_path):
     assert "checkpoint state_dict round-trip OK" in r1.stdout
     assert os.path.isdir(os.path.join(out_dir, "ar-ckpt-last"))
 
+    # second smoke over the same out_dir: must NOT resume from the leftover
+    # checkpoint -- a debug smoke is reproducible from scratch by contract
     cmd2 = [sys.executable, "train.py", "--local_debug=1", "--bs=8", "--ep=3",
             f"--local_out_dir_path={out_dir}"]
     r2 = subprocess.run(cmd2, cwd=REPO, env=env, capture_output=True, text=True,
                         timeout=420)
     assert r2.returncode == 0, r2.stderr[-2000:]
-    assert "auto-resumed" in r2.stdout
+    assert "auto-resum" not in r2.stdout
+    assert "checkpoint state_dict round-trip OK" in r2.stdout

@@ -46,7 +46,14 @@ def _pick_block(n: int, target: int) -> int:
     return target
 
 
-def _params(dim_sems):
+def _params(dim_sems, vmem_limit: int = 0):
+    # vmem_limit raises Mosaic's scoped-vmem stack cap (default 16M; v5e has
+    # 128M physical VMEM) for kernels whose per-program intermediates are
+    # deliberately large (paired decode: whole K/V resident + (2Bq, Lk)
+    # probs + their bf16 hi/lo split)
+    if vmem_limit:
+        return pltpu.CompilerParams(dimension_semantics=dim_sems,
+                                    vmem_limit_bytes=vmem_limit)
     return pltpu.CompilerParams(dimension_semantics=dim_sems)
 
 
@@ -371,24 +378,35 @@ def _fwd_kernel_paired(q_ref, k_ref, v_ref, o_ref, *, lk: int, nh: int, d: int):
     v = v_ref[0]  # (Bk, C)
     bq = q.shape[0]
     bk = k.shape[0]
+    # bf16 inputs take MXU-rate dots: masking q by 0/1 and the QK dot with
+    # fp32 accumulation are EXACT for bf16 operands (4x the fp32-dot rate),
+    # and the PV dot uses the fp32-normalized probs cast to bf16 — the same
+    # precision the XLA decode path ships (``attention`` casts softmax
+    # output to v.dtype). fp32 inputs (parity tests call the kernel
+    # directly with fp32) keep full-precision dots.
+    fast = q.dtype == jnp.bfloat16
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * d), 1)
     m_even = (lane < d).astype(F32)  # [1]*d + [0]*d
     m_odd = 1.0 - m_even
     col_ok = (jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1) < lk)
     for j in range(nh // 2):
         sl = slice(j * 2 * d, (j + 1) * 2 * d)  # one full 128-lane tile
-        qt = q[:, sl].astype(F32)  # (Bq, 128)
-        kt = k[:, sl].astype(F32)  # (Bk, 128)
+        qt = q[:, sl] if fast else q[:, sl].astype(F32)  # (Bq, 128)
+        kt = k[:, sl] if fast else k[:, sl].astype(F32)  # (Bk, 128)
         # zero padded tail rows: their probs are 0 but 0 * NaN = NaN
         row_ok = jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0) < lk
-        vt = jnp.where(row_ok, v[:, sl].astype(F32), 0.0)
-        qe = jnp.concatenate([qt * m_even, qt * m_odd], axis=0)  # (2Bq, 128)
+        vt = jnp.where(row_ok, v[:, sl], 0).astype(qt.dtype)
+        me = m_even.astype(qt.dtype)
+        mo = m_odd.astype(qt.dtype)
+        qe = jnp.concatenate([qt * me, qt * mo], axis=0)  # (2Bq, 128)
         s = jax.lax.dot_general(qe, kt, (((1,), (1,)), ((), ())),
                                 preferred_element_type=F32)  # (2Bq, Bk)
         s = jnp.where(col_ok, s, NEG_INF)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
+        if fast:
+            p = p.astype(jnp.bfloat16)
         o2 = jax.lax.dot_general(p, vt, (((1,), (0,)), ((), ())),
                                  preferred_element_type=F32)  # (2Bq, 128)
         o_ref[0, :, sl] = (o2[:bq] * m_even + o2[bq:] * m_odd).astype(o_ref.dtype)
