@@ -143,7 +143,8 @@ def main():
     attn_impl = "pallas" if "--attn-pallas" in sys.argv else ("xla" if "--attn-xla" in sys.argv else "auto")
     sampler = make_sampler(var_cfg, vae_cfg, cfg_scale=1.5, top_k=900 if not smoke else 8,
                            top_p=0.96, dtype=dtype, attn_impl=attn_impl,
-                           cache_impl="prealloc" if "--cache-prealloc" in sys.argv else "concat",
+                           cache_impl=("prealloc" if "--cache-prealloc" in sys.argv else
+                                       "concat" if "--cache-concat" in sys.argv else "chunked"),
                            approx_topk="--approx-topk" in sys.argv)
     labels = jnp.arange(batch, dtype=jnp.int32) % var_cfg.num_classes
 

@@ -118,7 +118,8 @@ def main():
         sampler = make_sampler(var_cfg, vae_cfg, cfg_scale=1.5, top_k=900,
                                top_p=0.96, dtype=jnp.bfloat16,
                                cache_impl="prealloc" if "--cache-prealloc" in sys.argv
-                               else "concat")
+                               else "concat" if "--cache-concat" in sys.argv
+                               else "chunked")
         labels = jnp.arange(batch, dtype=jnp.int32) % 1000
 
         def run(i):

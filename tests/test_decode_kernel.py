@@ -157,6 +157,72 @@ def test_greedy_decode_cfg_pallas_matches_xla():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("h,lens,lcur,layer_depth", [
+    (2, (1, 4, 9, 16), 25, (1, 3)),    # mid-pyramid, small heads
+    (4, (1, 4, 9), 16, (0, 2)),        # >1 head-pair tile (lane slicing)
+    (16, (1, 4, 9, 16, 25, 36), 64, (2, 4)),  # d16 head count at C=1024
+])
+def test_chunked_kernel_matches_single_buffer(h, lens, lcur, layer_depth):
+    """``flash_decode_paired_chunks`` over stacked (depth, B, l_i, C) chunks
+    selected at a scalar-prefetched layer index == the single-buffer kernel
+    on the concatenation. Decoy rows at other layers ensure the index map
+    actually picks row ``layer`` (a wrong row would read decoy values)."""
+    from var_tpu.ops.pallas.flash_attention import flash_decode_paired_chunks
+
+    layer, depth = layer_depth
+    c = 64 * h
+    b = 2
+    lk = sum(lens) + lcur
+    r = jax.random.split(jax.random.PRNGKey(h * 100 + lk), 3)
+    q = jax.random.normal(r[0], (b, lcur, c), F32)
+    k_full = jax.random.normal(r[1], (b, lk, c), F32)
+    v_full = jax.random.normal(r[2], (b, lk, c), F32)
+    want = flash_decode_paired(q, k_full, v_full, h, scale=0.21)
+    ks, vs, off = [], [], 0
+    for i, ln in enumerate(lens):
+        rr = jax.random.split(jax.random.PRNGKey(1000 + i), 2)
+        kc = jax.random.normal(rr[0], (depth, b, ln, c), F32)
+        vc = jax.random.normal(rr[1], (depth, b, ln, c), F32)
+        ks.append(kc.at[layer].set(k_full[:, off:off + ln]))
+        vs.append(vc.at[layer].set(v_full[:, off:off + ln]))
+        off += ln
+    ks.append(k_full[:, off:])  # live (B, lcur, C) chunk
+    vs.append(v_full[:, off:])
+    # traced layer index = what the depth-scan passes in production
+    got = jax.jit(lambda i: flash_decode_paired_chunks(q, ks, vs, i, h, 0.21))(
+        jnp.int32(layer))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("attn_impl", ["xla", "pallas"])
+def test_decode_cache_chunked_matches_concat(attn_impl):
+    """Chunked per-stage caches are a pure storage change: same rng + real
+    top-k/top-p sampling -> identical tokens/images vs grow-by-concat.
+    ``pallas`` runs the scalar-prefetch kernel (interpret mode) through the
+    stacked-block scan — the exact production path; ``xla`` covers the
+    chunked fallback seam (tiny stages + out-of-envelope)."""
+    from var_tpu.engine.sampler import decode_cfg
+    from var_tpu.models import vae as vae_mod
+
+    var_cfg = _stage_cfg(h=2)
+    vae_cfg = VAEConfig(vocab_size=32, z_channels=8, ch=32, ch_mult=(1, 1),
+                        v_patch_nums=PNS)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    vae_params = vae_mod.init_vae_params(k1, vae_cfg)
+    var_params = var_mod.stack_block_params(
+        var_mod.init_var_params(k2, var_cfg))
+    label = jnp.array([2, 5])
+    kw = dict(cfg_scale=1.5, top_k=8, top_p=0.9, dtype=F32, attn_impl=attn_impl)
+    res_c = decode_cfg(var_params, vae_params, var_cfg, vae_cfg,
+                       jax.random.PRNGKey(3), label, cache_impl="concat", **kw)
+    res_k = decode_cfg(var_params, vae_params, var_cfg, vae_cfg,
+                       jax.random.PRNGKey(3), label, cache_impl="chunked", **kw)
+    np.testing.assert_array_equal(np.asarray(res_k.tokens), np.asarray(res_c.tokens))
+    np.testing.assert_allclose(np.asarray(res_k.image), np.asarray(res_c.image),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_decode_cache_prealloc_matches_concat():
     """Preallocated in-place KV caches (``var.init_prealloc_caches``) are a
     pure storage change: with the same rng, real top-k/top-p sampling must

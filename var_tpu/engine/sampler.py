@@ -55,7 +55,7 @@ def decode_tokens_cfg(
     keep_mask: Optional[jax.Array] = None,
     edit_mask: Optional[jax.Array] = None,
     kv_window: Optional[int] = None,
-    cache_impl: str = "concat",
+    cache_impl: str = "chunked",
     approx_topk: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Transformer half of :func:`decode_cfg` -> (tokens (B, L), f_hat),
@@ -78,16 +78,23 @@ def decode_tokens_cfg(
 
     f_hat = jnp.zeros((b, pns[-1], pns[-1], vae_cfg.z_channels), F32)
     caches = None  # full (never-pruned) cache (kv_window bookkeeping only)
-    # KV cache representation (d16 bs images/s, one v5e chip): prealloc
-    # in-place beats concat at equal batch (bs64: 94.9 vs 90.9; bs80: 95.5
-    # = peak — same throughput as concat bs128 at 40% less latency) but its
-    # full-length carries pin 2 x depth x 2B x L x C HBM for the whole
-    # decode, so bs96+ OOMs where concat still fits (concat bs128: 95.7,
-    # the throughput headline). Default stays concat; pass
-    # cache_impl="prealloc" for latency-bound serving at bs<=80.
+    # KV cache representation (d16 img/s/chip, one v5e): "chunked" (default)
+    # keeps each stage's K/V as the (depth, 2B, l_i, C) stacks the depth-
+    # scan produced and the paired kernel reads them in place — no concat
+    # copies (~110 ms/batch at bs128) and no prealloc full-length carries.
+    # It dominates both alternatives at every batch (bs64: 109.3 vs concat
+    # 90.9 / prealloc 94.9; bs80: 110.1; bs128: 115.9 = the headline).
+    # "concat" remains for kv_window pruning; "prealloc" (in-place
+    # dynamic_update_slice buffers) remains as the serving-style layout.
     attend = None
     if kv_window is None and cache_impl == "prealloc":
         attend = var_mod.init_prealloc_caches(var_cfg, 2 * b, dtype=dtype)
+    elif kv_window is None and cache_impl == "chunked":
+        # per-stage (depth, 2B, l_i, C) chunks exactly as the depth-scan
+        # stacked them; the paired kernel reads them in place (scalar-
+        # prefetched layer index), so the grow-by-concat cache copies and
+        # the prealloc full-length carries both disappear
+        attend = ("chunks", (), ())
     cur = 0
     token_segs = []
     first_l = var_cfg.first_l
@@ -179,7 +186,7 @@ def decode_cfg(
     keep_mask: Optional[jax.Array] = None,
     edit_mask: Optional[jax.Array] = None,
     kv_window: Optional[int] = None,
-    cache_impl: str = "concat",
+    cache_impl: str = "chunked",
     approx_topk: bool = False,
 ) -> DecodeResult:
     """Class-conditional CFG decode; with ``gt_tokens``+``keep_mask`` it is
@@ -223,7 +230,7 @@ def make_sampler(
     attn_impl: str = "auto",
     inpainting: bool = False,
     kv_window: Optional[int] = None,
-    cache_impl: str = "concat",
+    cache_impl: str = "chunked",
     approx_topk: bool = False,
 ):
     """Compiled sampler: (var_params, vae_params, rng, label_b[, gt, mask])
@@ -322,7 +329,7 @@ def smooth_sampling(
     ntm = cond_bd[:, None, :] + var_params["pos_start"] + lvl_pos[:, : var_cfg.first_l]
 
     f_hat = jnp.zeros((b, pns[-1], pns[-1], vae_cfg.z_channels), F32)
-    caches = var_mod.init_prealloc_caches(var_cfg, 2 * b, dtype=dtype)
+    caches = ("chunks", (), ())  # copy-free per-stage KV (see decode_tokens_cfg)
     cur = 0
     sum_ll = jnp.float32(0.0)
     sum_dll = jnp.float32(0.0)

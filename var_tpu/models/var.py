@@ -324,6 +324,35 @@ def attn_apply(
     qm, km, vm, scale = _split_norm(qkv, ap.get("scale_mul"))
     new_kv = None
     k_att_m = v_att_m = None  # merged (B, Lk, C) forms for the decode kernel
+    if cache_kv is not None and isinstance(cache_kv[0], str):  # ("chunks", ...)
+        # chunked decode cache: past stages stay as the (depth, B, l_i, C)
+        # stacks the depth-scan produced — never copied, never concatenated.
+        # The paired kernel reads each chunk in place at row ``idx`` via
+        # scalar prefetch; outside its envelope the chunks are materialized
+        # into one (B, Lk, C) buffer for the XLA dot path (correct but
+        # copy-heavy — the envelope covers every 256px-preset stage).
+        _, cks, cvs, idx = cache_kv
+        new_kv = (km, vm)
+        lk = l + sum(int(ck.shape[-2]) for ck in cks)
+        paired_ok = (impl == "pallas" and bias is None and d * 2 == 128
+                     and h % 2 == 0 and lk <= PAIRED_VMEM_BUDGET // (4 * c)
+                     and l >= 8)
+        if paired_ok:
+            from var_tpu.ops.pallas.flash_attention import flash_decode_paired_chunks
+
+            out = flash_decode_paired_chunks(qm, (*cks, km), (*cvs, vm), idx,
+                                             h, scale)
+            return _linear(ap["proj"], out), new_kv
+        parts_k = [jax.lax.dynamic_index_in_dim(ck, idx, 0, False) for ck in cks]
+        parts_v = [jax.lax.dynamic_index_in_dim(cv, idx, 0, False) for cv in cvs]
+        k_att_m = jnp.concatenate(parts_k + [km], axis=1) if parts_k else km
+        v_att_m = jnp.concatenate(parts_v + [vm], axis=1) if parts_v else vm
+        q = qm.reshape(b, l, h, d)
+        k_att = k_att_m.reshape(b, lk, h, d)
+        v_att = v_att_m.reshape(b, lk, h, d)
+        out = attention(q, k_att, v_att, scale, bias=bias,
+                        impl="xla" if impl == "pallas" else impl).reshape(b, l, c)
+        return _linear(ap["proj"], out), new_kv
     if cache_kv is not None and len(cache_kv) == 4:
         # preallocated decode cache: full (depth, B, Lmax, C) buffers written
         # in place at static offset ``cum`` (block index ``idx`` may be a
@@ -677,14 +706,20 @@ def transformer_stage(
     ln_impl: str = "auto",
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Run all blocks over one scale's token map with KV caching
-    (``var.py:166-169``). Two cache representations:
+    (``var.py:166-169``). Three cache representations:
 
     * grow-by-concat (compat / kv_window pruning): ``caches`` = (K, V) of
       shape (depth, B, Lprev, C) — heads merged, see :func:`init_caches`;
       pass None to start. Returns (x, grown (K, V)).
-    * preallocated in-place (the decode hot path): ``caches`` = (K, V, cum)
+    * preallocated in-place (latency-bound serving): ``caches`` = (K, V, cum)
       from :func:`init_prealloc_caches`; K, V are full-length buffers updated
       at static offset ``cum``. Returns (x, (K, V, cum + L)).
+    * chunked (the decode hot path): ``caches`` = ("chunks", ks, vs) with
+      ks/vs tuples of per-stage (depth, B, l_i, C) stacks — pass
+      ("chunks", (), ()) to start. Each stage appends the scan's stacked
+      new-KV as-is; the paired kernel reads every chunk in place (scalar-
+      prefetched layer index), so no cache concat or full-length carry
+      exists at any point. Returns (x, ("chunks", ks + new, vs + new)).
     """
     if ln_impl == "auto":  # fused pallas LN on real TPUs, XLA elsewhere
         ln_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -696,6 +731,31 @@ def transformer_stage(
     blocks = params["blocks"]
     precomp = cond_ctx[1] if cond_ctx[0] == "precomp" else None
     l = x.shape[1]
+    if isinstance(caches[0], str):  # chunked path: ("chunks", ks, vs)
+        _, cks, cvs = caches
+        if isinstance(blocks, (list, tuple)):
+            new_k, new_v = [], []
+            for i, blk in enumerate(blocks):
+                ctx_i = ("precomp", precomp[i]) if precomp is not None else cond_ctx
+                x, kv = block_apply(blk, cfg, x, ctx_i, bias=None,
+                                    cache_kv=("chunks", cks, cvs, i),
+                                    impl=attn_impl, ln_impl=ln_impl)
+                new_k.append(kv[0])
+                new_v.append(kv[1])
+            knew, vnew = jnp.stack(new_k), jnp.stack(new_v)
+        else:
+
+            def body(xc, xs):
+                blk, i, p6i = xs
+                ctx_i = ("precomp", p6i) if p6i is not None else cond_ctx
+                xc, kv = block_apply(blk, cfg, xc, ctx_i, bias=None,
+                                     cache_kv=("chunks", cks, cvs, i),
+                                     impl=attn_impl, ln_impl=ln_impl)
+                return xc, kv
+
+            idxs = jnp.arange(cfg.depth)
+            x, (knew, vnew) = jax.lax.scan(body, x, (blocks, idxs, precomp))
+        return x, ("chunks", (*cks, knew), (*cvs, vnew))
     if len(caches) == 3:  # preallocated in-place path
         ck, cv, cum = caches
         if isinstance(blocks, (list, tuple)):

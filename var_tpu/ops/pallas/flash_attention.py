@@ -412,6 +412,136 @@ def _fwd_kernel_paired(q_ref, k_ref, v_ref, o_ref, *, lk: int, nh: int, d: int):
         o_ref[0, :, sl] = (o2[:bq] * m_even + o2[bq:] * m_odd).astype(o_ref.dtype)
 
 
+def _fwd_kernel_paired_chunks(idx_ref, q_ref, *rest, nchunks: int,
+                              lks: Tuple[int, ...], nh: int, d: int):
+    """Chunked-KV variant of :func:`_fwd_kernel_paired`: the cache is a list
+    of per-stage (depth, B, l_i, C) chunks read in place at layer ``idx_ref``
+    (scalar-prefetched scan counter) — no concatenated cache buffer exists in
+    HBM anywhere. The chunk blocks are joined once per program in VMEM
+    (aligned concat; every block is sublane-rounded) and the head-pair loop
+    then matches :func:`_fwd_kernel_paired` exactly, with the tail-padding
+    mask precomputed per segment as a trace-time constant.
+    """
+    k_refs = rest[:nchunks]
+    v_refs = rest[nchunks : 2 * nchunks]
+    o_ref = rest[2 * nchunks]
+    q = q_ref[0]  # (Bq, C)
+    bq = q.shape[0]
+    fast = q.dtype == jnp.bfloat16
+    # Assemble the chunks into one (sum bk_i, C) VMEM value up front: every
+    # chunk block is sublane-rounded (bk_i % 8 == 0), so the concat is an
+    # aligned, layout-preserving shuffle done ONCE per program — the nh/2
+    # head-pair dots then run at full MXU width exactly like the
+    # single-buffer kernel (a per-chunk dot loop measured ~2x kernel time:
+    # 10 narrow dots under-fill the MXU's 128-wide passes).
+    k_parts, v_parts, col_parts = [], [], []
+    for ci in range(nchunks):
+        kc = k_refs[ci][0, 0] if k_refs[ci].ndim == 4 else k_refs[ci][0]
+        vc = v_refs[ci][0, 0] if v_refs[ci].ndim == 4 else v_refs[ci][0]
+        row_ok = jax.lax.broadcasted_iota(jnp.int32, (vc.shape[0], 1), 0) < lks[ci]
+        k_parts.append(kc)
+        v_parts.append(jnp.where(row_ok, vc, 0))  # padded rows: 0 * NaN = NaN
+        col_parts.append(kc.shape[0])
+    k = k_parts[0] if nchunks == 1 else jnp.concatenate(k_parts, axis=0)
+    v = v_parts[0] if nchunks == 1 else jnp.concatenate(v_parts, axis=0)
+    # validity over the joined width from one iota + per-segment bounds
+    # (static offsets; a concat of boolean parts trips Mosaic's vector
+    # register casts, plain int32 compares don't)
+    colid = jax.lax.broadcasted_iota(jnp.int32, (1, k.shape[0]), 1)
+    col_ok = jnp.zeros((1, k.shape[0]), jnp.bool_)
+    off = 0
+    for bk_i, lk_i in zip(col_parts, lks):
+        col_ok = col_ok | ((colid >= off) & (colid < off + lk_i))
+        off += bk_i
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * d), 1)
+    m_even = (lane < d).astype(F32)
+    m_odd = 1.0 - m_even
+    for j in range(nh // 2):
+        sl = slice(j * 2 * d, (j + 1) * 2 * d)  # one full 128-lane tile
+        qt = q[:, sl] if fast else q[:, sl].astype(F32)
+        kt = k[:, sl] if fast else k[:, sl].astype(F32)
+        vt = v[:, sl] if fast else v[:, sl].astype(F32)
+        me = m_even.astype(qt.dtype)
+        mo = m_odd.astype(qt.dtype)
+        qe = jnp.concatenate([qt * me, qt * mo], axis=0)  # (2Bq, 128)
+        s = jax.lax.dot_general(qe, kt, (((1,), (1,)), ((), ())),
+                                preferred_element_type=F32)  # (2Bq, sum bk_i)
+        s = jnp.where(col_ok, s, NEG_INF)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        if fast:
+            p = p.astype(jnp.bfloat16)
+        o2 = jax.lax.dot_general(p, vt.astype(p.dtype), (((1,), (0,)), ((), ())),
+                                 preferred_element_type=F32)  # (2Bq, 128)
+        o_ref[0, :, sl] = (o2[:bq] * m_even + o2[bq:] * m_odd).astype(o_ref.dtype)
+
+
+def flash_decode_paired_chunks(
+    q_m: jax.Array,
+    k_chunks: Sequence[jax.Array],
+    v_chunks: Sequence[jax.Array],
+    layer_idx,
+    num_heads: int,
+    scale: float = 1.0,
+    block_q: int = 256,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Paired-head decode attention over a CHUNKED KV cache.
+
+    ``k_chunks``/``v_chunks``: per-stage caches, each (depth, B, l_i, C)
+    exactly as the depth-scan stacked them — except the last entry, the
+    current stage's freshly projected (B, l_cur, C). ``layer_idx`` (traced or
+    static int) selects the depth row of the stacked chunks in the kernel's
+    index maps via scalar prefetch, so no per-layer slice or concatenated
+    cache buffer is ever materialized — this removes the grow-by-concat
+    cache copies (~110 ms/batch at d16 bs128, 26% of decode device time).
+    Behaviorally identical to concatenating the chunks and calling
+    :func:`flash_decode_paired` (up to fp32 sum reassociation).
+    """
+    b, lq, c = q_m.shape
+    d = c // num_heads
+    assert num_heads % 2 == 0 and 2 * d == 128, "paired kernel wants D=64 pairs"
+    assert len(k_chunks) == len(v_chunks) and len(k_chunks) >= 1
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    bq = _pick_block(lq, block_q)
+    grid = (b, pl.cdiv(lq, bq))
+    lks = tuple(int(kc.shape[-2]) for kc in k_chunks)
+    nchunks = len(k_chunks)
+
+    def _chunk_spec(kc):
+        bk = _pick_block(kc.shape[-2], 1 << 30)  # whole chunk, sublane-rounded
+        if kc.ndim == 4:  # stacked (depth, B, l, C): row picked by the scalar
+            return pl.BlockSpec((1, 1, bk, c),
+                                lambda i, qi, s: (s[0], i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, bk, c), lambda i, qi, s: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    qs = (q_m.astype(F32) * scale).astype(q_m.dtype)
+    idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_paired_chunks, nchunks=nchunks,
+                          lks=lks, nh=num_heads, d=d),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bq, c), lambda i, qi, s: (i, qi, 0),
+                             memory_space=pltpu.VMEM),
+                *[_chunk_spec(kc) for kc in k_chunks],
+                *[_chunk_spec(vc) for vc in v_chunks],
+            ],
+            out_specs=pl.BlockSpec((1, bq, c), lambda i, qi, s: (i, qi, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, lq, c), q_m.dtype),
+        compiler_params=_params(("parallel", "parallel")),
+        interpret=interpret,
+    )(idx, qs, *k_chunks, *v_chunks)
+
+
 def flash_decode_paired(
     q_m: jax.Array,
     k_m: jax.Array,
