@@ -223,6 +223,34 @@ def test_decode_cache_chunked_matches_concat(attn_impl):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_decode_chunked_envelope_switchover(monkeypatch):
+    """When the cache outgrows the paired kernel's VMEM envelope mid-decode
+    (the 512px presets' long tail stages), the sampler converts the chunked
+    cache to the concat form ONCE — never the per-layer chunk re-join the
+    XLA fallback would do inside the depth scan. Shrinking the budget forces
+    the switchover mid-pyramid; tokens/images must still match concat."""
+    from var_tpu.engine.sampler import decode_cfg
+    from var_tpu.models import vae as vae_mod
+
+    var_cfg = _stage_cfg(h=2)
+    # envelope = budget / (4C) = 30 tokens: switchover entering stage 4
+    monkeypatch.setattr(var_mod, "PAIRED_VMEM_BUDGET", 30 * 4 * var_cfg.embed_dim)
+    vae_cfg = VAEConfig(vocab_size=32, z_channels=8, ch=32, ch_mult=(1, 1),
+                        v_patch_nums=PNS)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(13))
+    vae_params = vae_mod.init_vae_params(k1, vae_cfg)
+    var_params = var_mod.stack_block_params(var_mod.init_var_params(k2, var_cfg))
+    label = jnp.array([0, 3])
+    kw = dict(cfg_scale=1.5, top_k=8, top_p=0.9, dtype=F32, attn_impl="pallas")
+    res_c = decode_cfg(var_params, vae_params, var_cfg, vae_cfg,
+                       jax.random.PRNGKey(5), label, cache_impl="concat", **kw)
+    res_k = decode_cfg(var_params, vae_params, var_cfg, vae_cfg,
+                       jax.random.PRNGKey(5), label, cache_impl="chunked", **kw)
+    np.testing.assert_array_equal(np.asarray(res_k.tokens), np.asarray(res_c.tokens))
+    np.testing.assert_allclose(np.asarray(res_k.image), np.asarray(res_c.image),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_decode_cache_prealloc_matches_concat():
     """Preallocated in-place KV caches (``var.init_prealloc_caches``) are a
     pure storage change: with the same rng, real top-k/top-p sampling must

@@ -22,6 +22,10 @@ import os
 from typing import Dict, List, Sequence
 
 import jax
+
+if os.environ.get("VAR_TPU_FORCE_CPU"):  # same knob as train.py
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -27,6 +27,10 @@ from functools import partial
 from typing import List, Optional, Sequence
 
 import jax
+
+if os.environ.get("VAR_TPU_FORCE_CPU"):  # same knob as train.py
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 

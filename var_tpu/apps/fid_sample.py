@@ -33,6 +33,9 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
+
+    if os.environ.get("VAR_TPU_FORCE_CPU"):  # same knob as train.py
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from PIL import Image
 

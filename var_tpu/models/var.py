@@ -695,6 +695,19 @@ def init_prealloc_caches(cfg: VARConfig, batch: int, lmax: Optional[int] = None,
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), 0
 
 
+def chunks_to_concat(caches) -> Tuple[jax.Array, jax.Array]:
+    """Materialize a chunked cache into the grow-by-concat (K, V) form —
+    the decode switches to this representation at the first stage whose
+    total cache length leaves the paired kernel's VMEM envelope (long 512px
+    stages): the chunked XLA fallback re-joins the chunks per LAYER inside
+    the depth scan, which is depth x the copy traffic of concat caches.
+    (Measured dead ends at d16 bs128, kept for the record: coalescing small
+    chunks to cut kernel operand DMAs lost ~2-4 img/s — the merge copies
+    outweigh the DMA savings; block_q=128 lost ~3.)"""
+    _, ks, vs = caches
+    return jnp.concatenate(ks, axis=2), jnp.concatenate(vs, axis=2)
+
+
 def transformer_stage(
     params: dict,
     cfg: VARConfig,

@@ -104,9 +104,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(F32)  # (Bq, D)
-    k = k_ref[0].astype(F32)  # (Bk, D)
-    v = _zero_pad_rows(v_ref[0].astype(F32), j, lk)
+    # bf16 inputs keep bf16 MXU-rate dots with f32 accumulation — the same
+    # operand precision as the XLA dense path (its einsum dots bf16 q/k and
+    # casts softmax output to v.dtype); fp32 inputs keep full-precision dots
+    fast = q_ref.dtype == jnp.bfloat16
+    q = q_ref[0] if fast else q_ref[0].astype(F32)  # (Bq, D)
+    k = k_ref[0] if fast else k_ref[0].astype(F32)  # (Bk, D)
+    v = _zero_pad_rows(v_ref[0] if fast else v_ref[0].astype(F32), j, lk)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=F32)  # (Bq, Bk)
     s = jnp.where(_mask(qi, j, q.shape[0], k.shape[0], lk, ends), s, NEG_INF)
@@ -118,7 +122,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     alpha = jnp.exp(m_prev - m_new)
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=F32)
+        p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=F32)
     m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
     l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
 
@@ -174,10 +179,11 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0].astype(F32)
-    k = _zero_pad_rows(k_ref[0].astype(F32), j, lk)
-    v = _zero_pad_rows(v_ref[0].astype(F32), j, lk)
-    do = do_ref[0].astype(F32)
+    fast = q_ref.dtype == jnp.bfloat16  # bf16 MXU-rate dots, f32 softmax math
+    q = q_ref[0] if fast else q_ref[0].astype(F32)
+    k = _zero_pad_rows(k_ref[0] if fast else k_ref[0].astype(F32), j, lk)
+    v = _zero_pad_rows(v_ref[0] if fast else v_ref[0].astype(F32), j, lk)
+    do = do_ref[0] if fast else do_ref[0].astype(F32)
     lse = lse_ref[0]  # (Bq, 1)
     delta = delta_ref[0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -187,7 +193,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=F32)
     ds = p * (dp - delta)
-    dq_scr[...] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+    dq_scr[...] += jax.lax.dot_general(ds.astype(q.dtype), k,
+                                       (((1,), (0,)), ((), ())),
                                        preferred_element_type=F32)
 
     @pl.when(j == nk - 1)
@@ -206,10 +213,11 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    q = _zero_pad_rows(q_ref[0].astype(F32), j, lq)
-    k = k_ref[0].astype(F32)  # (Bk, D)
-    v = v_ref[0].astype(F32)
-    do = _zero_pad_rows(do_ref[0].astype(F32), j, lq)
+    fast = q_ref.dtype == jnp.bfloat16  # bf16 MXU-rate dots, f32 softmax math
+    q = _zero_pad_rows(q_ref[0] if fast else q_ref[0].astype(F32), j, lq)
+    k = k_ref[0] if fast else k_ref[0].astype(F32)  # (Bk, D)
+    v = v_ref[0] if fast else v_ref[0].astype(F32)
+    do = _zero_pad_rows(do_ref[0] if fast else do_ref[0].astype(F32), j, lq)
     lse = _zero_pad_rows(lse_ref[0], j, lq)  # (Bq, 1)
     delta = _zero_pad_rows(delta_ref[0], j, lq)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -220,12 +228,14 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     valid = (row < lq) & _mask(j, ki, bq, bk, lk, ends)
     s = jnp.where(valid, s, NEG_INF)
     p = jnp.where(row < lq, jnp.exp(s - lse), 0.0)
-    dv_scr[...] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+    dv_scr[...] += jax.lax.dot_general(p.astype(q.dtype), do,
+                                       (((0,), (0,)), ((), ())),
                                        preferred_element_type=F32)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=F32)
     ds = jnp.where(row < lq, p * (dp - delta), 0.0)
-    dk_scr[...] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+    dk_scr[...] += jax.lax.dot_general(ds.astype(q.dtype), q,
+                                       (((0,), (0,)), ((), ())),
                                        preferred_element_type=F32)
 
     @pl.when(j == nq - 1)
