@@ -137,6 +137,30 @@ def upsample2x_repeat(p: dict, x: jax.Array) -> jax.Array:
     return conv2d(p["conv"], x)
 
 
+def upsample2x_deconv(p: dict, x: jax.Array) -> jax.Array:
+    """Nearest 2x + 3x3 conv (``basic_vae.py:22-28``) as ONE input-dilated
+    conv (a stride-2 transposed convolution with a 4x4 collapsed kernel).
+
+    Derivation: output row P = 2i+di reads nearest-upsampled rows
+    (P-1, P, P+1), which collapse onto low-res rows with summed taps —
+    row sets per 4x4 kernel row m: {0}, {0,1}, {1,2}, {2} (and the same
+    along columns), i.e. K4[m1, m2] = sum_{a in R[m1], b in R[m2]} k[a, b].
+    With ``lhs_dilation=2`` and padding (2, 2) the even/odd output phases
+    pick exactly the right taps (zeros fall on the dilation gaps). Exact
+    math — same function as :func:`upsample2x` / the repeat oracle — with
+    no phase stack / interleave transpose in the graph."""
+    b, h, w, c = x.shape
+    dtype = x.dtype
+    k = p["conv"]["kernel"].astype(dtype)  # (3, 3, Cin, Cout)
+    C = jnp.asarray(np.array([[1, 0, 0], [1, 1, 0], [0, 1, 1], [0, 0, 1]],
+                             np.float32)).astype(dtype)  # (4, 3) row collapse
+    k4 = jnp.einsum("ma,nb,abio->mnio", C, C, k)  # (4, 4, Cin, Cout)
+    y = jax.lax.conv_general_dilated(
+        x, k4, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + p["conv"]["bias"].astype(dtype)
+
+
 def upsample2x(p: dict, x: jax.Array) -> jax.Array:
     """Nearest 2x + 3x3 conv (``basic_vae.py:22-28``), computed as four
     phase-specific 2x2 convs on the LOW-res input + depth-to-space.
