@@ -2,7 +2,7 @@
 tokenize + forward + backward + AdamW) in images/sec/chip.
 
 Run on the TPU: python scripts/bench_train.py [--batch 32] [--iters 5]
-                [--attn pallas|xla|hybrid] [--remat 0|1|2] [--depth 16]
+                [--attn pallas|xla|hybrid|paired] [--remat 0|1|2] [--depth 16]
                 [--pn 256|512]  (hybrid = flash fwd + dense bwd, remat=2 only)
 """
 
@@ -30,7 +30,7 @@ def main():
     depth = arg("--depth", 16)
     pn = sys.argv[sys.argv.index("--pn") + 1] if "--pn" in sys.argv else "256"
     attn = sys.argv[sys.argv.index("--attn") + 1] if "--attn" in sys.argv else "xla"
-    assert attn in ("xla", "pallas", "hybrid")
+    assert attn in ("xla", "pallas", "hybrid", "paired")
 
     from var_tpu.config import parse_patch_nums
     pns = parse_patch_nums(pn)

@@ -123,3 +123,65 @@ def test_fused_modulated_layernorm_matches_xla():
         want = _ln(x, 1e-6) * (s[:, None] + 1.0) + sh[:, None]
         got = modulated_layernorm(x, s, sh, eps=1e-6)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-6, atol=2e-6)
+
+
+def test_paired_train_matches_xla_values_and_grads():
+    """Merged-lane paired-head training attention (values + all three
+    gradients) == the XLA dense path with the same block-causal mask, at
+    head_dim-64 geometry with multiple head pairs and block sizes that
+    stream and straddle the sequence."""
+    from var_tpu.ops.pallas.flash_attention import flash_attention_paired_train
+
+    ends = (1, 5, 14, 30, 55, 91)
+    B, L, H = 2, 91, 4
+    C = 64 * H
+    r = jax.random.split(jax.random.PRNGKey(7), 4)
+    qm = jax.random.normal(r[0], (B, L, C), jnp.float32)
+    km = jax.random.normal(r[1], (B, L, C), jnp.float32)
+    vm = jax.random.normal(r[2], (B, L, C), jnp.float32)
+    do = jax.random.normal(r[3], (B, L, C), jnp.float32)
+    scale = 0.125
+
+    def ref(q, k, v):
+        out = attention(q.reshape(B, L, H, 64), k.reshape(B, L, H, 64),
+                        v.reshape(B, L, H, 64), scale, impl="xla",
+                        scale_ends=ends)
+        return jnp.sum(out.reshape(B, L, C) * do)
+
+    def new(q, k, v):
+        return jnp.sum(flash_attention_paired_train(
+            q, k, v, H, scale, ends, block_q=32, block_k=48) * do)
+
+    lr, gr = jax.value_and_grad(ref, argnums=(0, 1, 2))(qm, km, vm)
+    ln, gn = jax.value_and_grad(new, argnums=(0, 1, 2))(qm, km, vm)
+    assert abs(float(lr - ln)) < 1e-3
+    for a, b in zip(gr, gn):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_paired_train_var_forward_matches_xla():
+    """attn_impl='paired' through var_forward: teacher-forced logits and
+    parameter gradients equal the XLA path at head_dim-64 geometry, with
+    and without attention-core remat."""
+    cfg = VARConfig(depth=2, embed_dim=256, num_heads=4,
+                    patch_nums=(1, 2, 3, 4, 5), vocab_size=32, z_channels=8,
+                    attn_l2_norm=True, cond_drop_rate=0.0)
+    params = var_mod.stack_block_params(
+        var_mod.init_var_params(jax.random.PRNGKey(0), cfg))
+    label = jnp.array([1, 3])
+    x_in = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.seq_len - 1, 8))
+    do = jax.random.normal(jax.random.PRNGKey(2), (2, cfg.seq_len, cfg.vocab_size))
+
+    def loss(p, impl, remat):
+        lg = var_mod.var_forward(p, cfg, label, x_in, dtype=jnp.float32,
+                                 attn_impl=impl, remat=remat)
+        return jnp.sum(lg * do)
+
+    for remat in (0, 2):
+        lx, gx = jax.value_and_grad(lambda p: loss(p, "xla", remat))(params)
+        lp, gp = jax.value_and_grad(lambda p: loss(p, "paired", remat))(params)
+        assert abs(float(lx - lp)) < 1e-3
+        for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gp)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=5e-4)

@@ -305,6 +305,14 @@ def attn_apply(
 
         def _core(qkv_m, scale_mul_p, impl_=impl):
             qm_, km_, vm_, sc = _split_norm(qkv_m, scale_mul_p)
+            if impl_ == "paired":
+                # merged-lane paired-head training kernel: no head-split
+                # transposes, flash O(BLC) residuals (see flash_attention.py)
+                from var_tpu.ops.pallas.flash_attention import (
+                    flash_attention_paired_train)
+
+                return flash_attention_paired_train(qm_, km_, vm_, h, sc,
+                                                    scale_ends)
             return attention(qm_.reshape(b, l, h, d), km_.reshape(b, l, h, d),
                              vm_.reshape(b, l, h, d), sc, impl=impl_,
                              scale_ends=scale_ends).reshape(b, l, c)
@@ -322,6 +330,11 @@ def attn_apply(
         return _linear(ap["proj"], out), None
 
     qm, km, vm, scale = _split_norm(qkv, ap.get("scale_mul"))
+    if cache_kv is None and impl == "paired":
+        from var_tpu.ops.pallas.flash_attention import flash_attention_paired_train
+
+        out = flash_attention_paired_train(qm, km, vm, h, scale, scale_ends)
+        return _linear(ap["proj"], out), None
     new_kv = None
     k_att_m = v_att_m = None  # merged (B, Lk, C) forms for the decode kernel
     if cache_kv is not None and isinstance(cache_kv[0], str):  # ("chunks", ...)

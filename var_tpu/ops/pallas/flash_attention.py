@@ -591,3 +591,339 @@ def flash_decode_paired(
         compiler_params=_params(("parallel", "parallel")),
         interpret=interpret,
     )(qs, k_m, v_m)
+
+
+# ---------------------------------------------------------------------------
+# paired-head TRAINING attention: merged (B, L, C) end to end, custom VJP
+#
+# The BLHD flash path above pays head-split transposes around every kernel
+# call and runs D=64 blocks (half-empty lane tiles). This variant applies the
+# decode kernel's pairing trick to teacher-forced training: tensors stay
+# (B, L, C) everywhere, each 128-lane tile holds one head PAIR, the
+# block-causal scale mask is evaluated in kernel, and the backward produces
+# merged dq/dk/dv tiles directly (the paired p/ds rows recombine the two
+# heads' gradients in a single dot). No (B, H, L, L) tensor, no transposes,
+# no sub-128-lane slicing anywhere in forward or backward.
+
+
+def _mask2(qi, ki, bq, bk, lq, lk, ends):
+    """(2Bq, Bk) validity for paired rows: row r is query qi*bq + r % bq."""
+    col = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+    row2 = jax.lax.broadcasted_iota(jnp.int32, (2 * bq, 1), 0) % bq
+    row = qi * bq + row2
+    valid = (col < lk) & (row < lq)
+    if ends is not None:
+        valid = valid & (_levels_of(col, ends) <= _levels_of(row, ends))
+    return valid
+
+
+def _fwd_kernel_ptrain(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
+                       acc_scr, *, ends, lq: int, lk: int, nh: int, d: int):
+    qi = pl.program_id(1)
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+    q = q_ref[0]  # (Bq, C)
+    k = k_ref[0]  # (Bk, C)
+    v = v_ref[0]
+    bq = q.shape[0]
+    bk = k.shape[0]
+    fast = q.dtype == jnp.bfloat16
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * d), 1)
+    m_even = (lane < d).astype(F32)
+    m_odd = 1.0 - m_even
+    valid = _mask2(qi, j, bq, bk, lq, lk, ends)
+    row_ok = jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0) + j * bk < lk
+    for hp in range(nh // 2):
+        sl = slice(hp * 2 * d, (hp + 1) * 2 * d)
+        qt = q[:, sl] if fast else q[:, sl].astype(F32)
+        kt = k[:, sl] if fast else k[:, sl].astype(F32)
+        vt = jnp.where(row_ok, v[:, sl], 0).astype(qt.dtype)
+        me = m_even.astype(qt.dtype)
+        mo = m_odd.astype(qt.dtype)
+        qe = jnp.concatenate([qt * me, qt * mo], axis=0)  # (2Bq, 128)
+        s = jax.lax.dot_general(qe, kt, (((1,), (1,)), ((), ())),
+                                preferred_element_type=F32)  # (2Bq, Bk)
+        s = jnp.where(valid, s, NEG_INF)
+        rows = slice(hp * 2 * bq, (hp + 1) * 2 * bq)
+        m_prev = m_scr[rows, :1]
+        l_prev = l_scr[rows, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[rows] = acc_scr[rows] * alpha + jax.lax.dot_general(
+            p.astype(qt.dtype), vt, (((1,), (0,)), ((), ())),
+            preferred_element_type=F32)
+        m_scr[rows] = jnp.broadcast_to(m_new, (2 * bq, m_scr.shape[1]))
+        l_scr[rows] = jnp.broadcast_to(l_new, (2 * bq, l_scr.shape[1]))
+
+    @pl.when(j == nk - 1)
+    def _flush():
+        for hp in range(nh // 2):
+            sl = slice(hp * 2 * d, (hp + 1) * 2 * d)
+            rows = slice(hp * 2 * bq, (hp + 1) * 2 * bq)
+            l_raw = l_scr[rows, :1]
+            l_safe = jnp.where(l_raw == 0.0, 1.0, l_raw)
+            o2 = acc_scr[rows] / l_safe
+            o_ref[0, :, sl] = (o2[:bq] * m_even + o2[bq:] * m_odd).astype(o_ref.dtype)
+            lse2 = m_scr[rows, :1] + jnp.log(l_safe)  # (2Bq, 1)
+            lse_ref[0, 2 * hp, :] = lse2[:bq, 0]
+            lse_ref[0, 2 * hp + 1, :] = lse2[bq:, 0]
+
+
+def _bwd_dq_kernel_ptrain(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dq_ref, dq_scr, *, ends, lq: int, lk: int,
+                          nh: int, d: int):
+    qi = pl.program_id(1)
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    bq = q.shape[0]
+    bk = k.shape[0]
+    fast = q.dtype == jnp.bfloat16
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * d), 1)
+    m_even = (lane < d).astype(F32)
+    m_odd = 1.0 - m_even
+    valid = _mask2(qi, j, bq, bk, lq, lk, ends)
+    row_ok = jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0) + j * bk < lk
+    for hp in range(nh // 2):
+        sl = slice(hp * 2 * d, (hp + 1) * 2 * d)
+        qt = q[:, sl] if fast else q[:, sl].astype(F32)
+        kt = jnp.where(row_ok, k[:, sl], 0).astype(qt.dtype)
+        vt = jnp.where(row_ok, v[:, sl], 0).astype(qt.dtype)
+        dot = do[:, sl] if fast else do[:, sl].astype(F32)
+        me = m_even.astype(qt.dtype)
+        mo = m_odd.astype(qt.dtype)
+        qe = jnp.concatenate([qt * me, qt * mo], axis=0)      # (2Bq, 128)
+        doe = jnp.concatenate([dot * me, dot * mo], axis=0)   # (2Bq, 128)
+        # paired lse/delta columns: (1, Bq) rows -> (2Bq, 1) column stack
+        lse2 = jnp.concatenate([lse_ref[0, 2 * hp], lse_ref[0, 2 * hp + 1]]
+                               ).reshape(2 * bq, 1)
+        dlt2 = jnp.concatenate([delta_ref[0, 2 * hp], delta_ref[0, 2 * hp + 1]]
+                               ).reshape(2 * bq, 1)
+        s = jax.lax.dot_general(qe, kt, (((1,), (1,)), ((), ())),
+                                preferred_element_type=F32)
+        s = jnp.where(valid, s, NEG_INF)
+        p = jnp.exp(s - lse2)
+        dp = jax.lax.dot_general(doe, vt, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=F32)
+        ds = p * (dp - dlt2)
+        rows = slice(hp * 2 * bq, (hp + 1) * 2 * bq)
+        dq_scr[rows] += jax.lax.dot_general(ds.astype(qt.dtype), kt,
+                                            (((1,), (0,)), ((), ())),
+                                            preferred_element_type=F32)
+
+    @pl.when(j == nk - 1)
+    def _flush():
+        for hp in range(nh // 2):
+            sl = slice(hp * 2 * d, (hp + 1) * 2 * d)
+            rows = slice(hp * 2 * bq, (hp + 1) * 2 * bq)
+            g2 = dq_scr[rows]
+            dq_ref[0, :, sl] = (g2[:bq] * m_even + g2[bq:] * m_odd).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel_ptrain(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                           dk_ref, dv_ref, dk_scr, dv_scr, *, ends, lq: int,
+                           lk: int, nh: int, d: int):
+    ki = pl.program_id(1)
+    j = pl.program_id(2)  # query-block index
+    nq = pl.num_programs(2)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    bq = q.shape[0]
+    bk = k.shape[0]
+    fast = q.dtype == jnp.bfloat16
+
+    @pl.when(j == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * d), 1)
+    m_even = (lane < d).astype(F32)
+    m_odd = 1.0 - m_even
+    # roles swapped: grid dim 1 is the KV block, dim 2 streams q blocks
+    valid = _mask2(j, ki, bq, bk, lq, lk, ends)
+    qrow_ok = jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0) + j * bq < lq
+    qrow_ok2 = jnp.concatenate([qrow_ok, qrow_ok], axis=0)
+    for hp in range(nh // 2):
+        sl = slice(hp * 2 * d, (hp + 1) * 2 * d)
+        qt = jnp.where(qrow_ok, q[:, sl], 0).astype(
+            q.dtype if fast else F32)
+        kt = k[:, sl] if fast else k[:, sl].astype(F32)
+        vt = v[:, sl] if fast else v[:, sl].astype(F32)
+        dot = jnp.where(qrow_ok, do[:, sl], 0).astype(qt.dtype)
+        me = m_even.astype(qt.dtype)
+        mo = m_odd.astype(qt.dtype)
+        qe = jnp.concatenate([qt * me, qt * mo], axis=0)
+        doe = jnp.concatenate([dot * me, dot * mo], axis=0)
+        lse2 = jnp.concatenate([lse_ref[0, 2 * hp], lse_ref[0, 2 * hp + 1]]
+                               ).reshape(2 * bq, 1)
+        dlt2 = jnp.concatenate([delta_ref[0, 2 * hp], delta_ref[0, 2 * hp + 1]]
+                               ).reshape(2 * bq, 1)
+        s = jax.lax.dot_general(qe, kt, (((1,), (1,)), ((), ())),
+                                preferred_element_type=F32)
+        s = jnp.where(valid, s, NEG_INF)
+        p = jnp.where(qrow_ok2, jnp.exp(s - lse2), 0.0)
+        # p rows hold both heads lane-masked; one transposed dot therefore
+        # yields the MERGED dv/dk tile (even-head cols + odd-head cols)
+        dv_scr[hp * bk:(hp + 1) * bk] += jax.lax.dot_general(
+            p.astype(qt.dtype), doe, (((0,), (0,)), ((), ())),
+            preferred_element_type=F32)
+        dp = jax.lax.dot_general(doe, vt, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=F32)
+        ds = jnp.where(qrow_ok2, p * (dp - dlt2), 0.0)
+        dk_scr[hp * bk:(hp + 1) * bk] += jax.lax.dot_general(
+            ds.astype(qt.dtype), qe, (((0,), (0,)), ((), ())),
+            preferred_element_type=F32)
+
+    @pl.when(j == nq - 1)
+    def _flush():
+        for hp in range(nh // 2):
+            sl = slice(hp * 2 * d, (hp + 1) * 2 * d)
+            rows = slice(hp * bk, (hp + 1) * bk)
+            dk_ref[0, :, sl] = dk_scr[rows].astype(dk_ref.dtype)
+            dv_ref[0, :, sl] = dv_scr[rows].astype(dv_ref.dtype)
+
+
+def _ptrain_fwd(qm, km, vm, nh, ends, bq, bk, interpret):
+    b, l, c = qm.shape
+    d = c // nh
+    grid = (b, pl.cdiv(l, bq), pl.cdiv(l, bk))
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_ptrain, ends=ends, lq=l, lk=l,
+                          nh=nh, d=d),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda i, qi, ki: (i, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, c), lambda i, qi, ki: (i, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, c), lambda i, qi, ki: (i, ki, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, c), lambda i, qi, ki: (i, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nh, bq), lambda i, qi, ki: (i, 0, qi), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, l, c), qm.dtype),
+            jax.ShapeDtypeStruct((b, nh, l), F32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nh // 2 * 2 * bq, LANES), F32),  # m
+            pltpu.VMEM((nh // 2 * 2 * bq, LANES), F32),  # l
+            pltpu.VMEM((nh // 2 * 2 * bq, 2 * d), F32),  # acc
+        ],
+        compiler_params=_params(("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(qm, km, vm)
+    return out, lse
+
+
+def _ptrain_bwd(qm, km, vm, out, lse, do, nh, ends, bq, bk, interpret):
+    b, l, c = qm.shape
+    d = c // nh
+    # per-(row, head) delta = sum_d do*o within the head's lanes: one
+    # block-diagonal ones matmul on merged lanes, then H to the sublane dim
+    seg = jnp.asarray(np.kron(np.eye(nh, dtype=np.float32),
+                              np.ones((d, 1), np.float32)))  # (C, H)
+    delta = jax.lax.dot_general(do.astype(F32) * out.astype(F32), seg,
+                                (((2,), (0,)), ((), ())),
+                                preferred_element_type=F32)  # (B, L, H)
+    delta = delta.transpose(0, 2, 1)  # (B, H, L) — tiny (nh x L) per sample
+
+    q_spec = pl.BlockSpec((1, bq, c), lambda i, qi, ki: (i, qi, 0), memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, bk, c), lambda i, qi, ki: (i, ki, 0), memory_space=pltpu.VMEM)
+    hl_spec = pl.BlockSpec((1, nh, bq), lambda i, qi, ki: (i, 0, qi), memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_ptrain, ends=ends, lq=l, lk=l,
+                          nh=nh, d=d),
+        grid=(b, pl.cdiv(l, bq), pl.cdiv(l, bk)),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, hl_spec, hl_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, l, c), qm.dtype),
+        scratch_shapes=[pltpu.VMEM((nh // 2 * 2 * bq, 2 * d), F32)],
+        compiler_params=_params(("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(qm, km, vm, do, lse, delta)
+
+    qs_spec = pl.BlockSpec((1, bq, c), lambda i, ki, qi: (i, qi, 0), memory_space=pltpu.VMEM)
+    kvs_spec = pl.BlockSpec((1, bk, c), lambda i, ki, qi: (i, ki, 0), memory_space=pltpu.VMEM)
+    hls_spec = pl.BlockSpec((1, nh, bq), lambda i, ki, qi: (i, 0, qi), memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_ptrain, ends=ends, lq=l, lk=l,
+                          nh=nh, d=d),
+        grid=(b, pl.cdiv(l, bk), pl.cdiv(l, bq)),
+        in_specs=[qs_spec, kvs_spec, kvs_spec, qs_spec, hls_spec, hls_spec],
+        out_specs=[kvs_spec, kvs_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, l, c), km.dtype),
+                   jax.ShapeDtypeStruct((b, l, c), vm.dtype)],
+        scratch_shapes=[pltpu.VMEM((nh // 2 * bk, 2 * d), F32),
+                        pltpu.VMEM((nh // 2 * bk, 2 * d), F32)],
+        compiler_params=_params(("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(qm, km, vm, do, lse, delta)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _ptrain(qm, km, vm, nh, ends, bq, bk, interpret):
+    out, _ = _ptrain_fwd(qm, km, vm, nh, ends, bq, bk, interpret)
+    return out
+
+
+def _ptrain_vjp_fwd(qm, km, vm, nh, ends, bq, bk, interpret):
+    out, lse = _ptrain_fwd(qm, km, vm, nh, ends, bq, bk, interpret)
+    return out, (qm, km, vm, out, lse)
+
+
+def _ptrain_vjp_bwd(nh, ends, bq, bk, interpret, res, do):
+    qm, km, vm, out, lse = res
+    return _ptrain_bwd(qm, km, vm, out, lse, do, nh, ends, bq, bk, interpret)
+
+
+_ptrain.defvjp(_ptrain_vjp_fwd, _ptrain_vjp_bwd)
+
+
+def flash_attention_paired_train(
+    q_m: jax.Array,
+    k_m: jax.Array,
+    v_m: jax.Array,
+    num_heads: int,
+    scale: float = 1.0,
+    scale_ends: Optional[Sequence[int]] = None,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Teacher-forced attention over MERGED (B, L, C) tensors with the
+    block-causal scale mask, differentiable (custom VJP, flash-style
+    O(B L C) residuals: q/k/v/out/lse — no (B, H, L, L) tensor in either
+    pass). See the section comment above for why this beats the BLHD path
+    on TPU. ``scale`` is folded into q up front; residuals stay merged."""
+    b, l, c = q_m.shape
+    d = c // num_heads
+    assert num_heads % 2 == 0 and 2 * d == 128, "paired kernel wants D=64 pairs"
+    assert k_m.shape == q_m.shape == v_m.shape, "training path: Lq == Lk"
+    ends = tuple(int(e) for e in scale_ends) if scale_ends is not None else None
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    bq = _pick_block(l, block_q)
+    bk = _pick_block(l, block_k)
+    qs = (q_m.astype(F32) * scale).astype(q_m.dtype)
+    return _ptrain(qs, k_m, v_m, num_heads, ends, bq, bk, interpret)
