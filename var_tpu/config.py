@@ -163,6 +163,8 @@ class TrainArgs:
     seed: Optional[int] = None
     remat: int = 0  # 0 off; 1 whole-block remat (d30/d36 fit knob);
     #                 2 attention-core only (d16-class memory/FLOP sweet spot)
+    vae_bf16: int = 0  # tokenize in bf16 (quantizer stats stay fp32); may
+    #                    flip rare argmin token choices vs the fp32 default
     dbg_nan: bool = False  # enable jax debug_nans/debug_infs (arg_util.py:137)
     local_out_dir_path: str = "local_output"
     tb_log_dir_path: str = ""

@@ -204,6 +204,11 @@ def make_train_step(
     bg = 0 if prog_si < 0 else var_cfg.begin_ends[prog_si][0]
 
     def loss_fn(params, vae_params, img, label, rng, prog_wp):
+        if getattr(args, "vae_bf16", 0):
+            # tokenizer encoder in bf16: the quantizer's distance argmin and
+            # stats stay fp32-forced (quantizer.py); rare near-tie token
+            # flips vs the fp32 encoder are acceptable for training targets
+            img = img.astype(jnp.bfloat16)
         idx_bl = vae_mod.img_to_idxBl(vae_params, vae_cfg, img)
         gt_bl = jnp.concatenate(idx_bl, axis=1)[:, :ed]
         x_in = q.idxBl_to_var_input(vae_params["quantize"], vae_cfg, idx_bl)

@@ -24,6 +24,12 @@ from var_tpu.models import quantizer as q
 
 HIGHEST = jax.lax.Precision.HIGHEST
 
+# decoder upsample formulation: "phase" (4 subpixel 2x2 convs + interleave)
+# or "deconv" (one input-dilated conv, 4x4 collapsed kernel). Exact same
+# function either way (equivalence-tested against the nearest+conv oracle);
+# module-level so benches can A/B it without threading a config field.
+UPSAMPLE_IMPL = "phase"
+
 
 # ---------------------------------------------------------------------------
 # primitive layers
@@ -338,6 +344,7 @@ def decoder_apply(p: dict, cfg: VAEConfig, z: jax.Array) -> jax.Array:
     if cfg.using_mid_sa:
         h = attn_block(p["mid"]["attn_1"], h)
     h = resnet_block(p["mid"]["block_2"], h)
+    up_fn = upsample2x_deconv if UPSAMPLE_IMPL == "deconv" else upsample2x
     for i in reversed(range(nres)):
         level = p["up"][i]
         for j, blk in enumerate(level["block"]):
@@ -345,7 +352,7 @@ def decoder_apply(p: dict, cfg: VAEConfig, z: jax.Array) -> jax.Array:
             if level["attn"]:
                 h = attn_block(level["attn"][j], h)
         if "upsample" in level:
-            h = upsample2x(level["upsample"], h)
+            h = up_fn(level["upsample"], h)
     return conv2d(p["conv_out"], swish(group_norm(p["norm_out"], h)))
 
 
