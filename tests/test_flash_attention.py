@@ -185,3 +185,38 @@ def test_paired_train_var_forward_matches_xla():
         for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gp)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=2e-4, atol=5e-4)
+
+
+def test_paired_train_bf16_matches_xla():
+    """bf16 inputs (the production training dtype): paired kernel fwd + all
+    grads track the XLA dense path within bf16 tolerance."""
+    from var_tpu.ops.pallas.flash_attention import flash_attention_paired_train
+
+    ends = (1, 5, 14, 30)
+    B, L, H = 2, 30, 2
+    C = 64 * H
+    r = jax.random.split(jax.random.PRNGKey(3), 4)
+    qm = jax.random.normal(r[0], (B, L, C), jnp.float32).astype(jnp.bfloat16)
+    km = jax.random.normal(r[1], (B, L, C), jnp.float32).astype(jnp.bfloat16)
+    vm = jax.random.normal(r[2], (B, L, C), jnp.float32).astype(jnp.bfloat16)
+    do = jax.random.normal(r[3], (B, L, C), jnp.float32).astype(jnp.bfloat16)
+    scale = 0.125
+
+    def ref(q, k, v):
+        out = attention(q.reshape(B, L, H, 64), k.reshape(B, L, H, 64),
+                        v.reshape(B, L, H, 64), scale, impl="xla",
+                        scale_ends=ends)
+        return jnp.sum(out.reshape(B, L, C).astype(jnp.float32) * do.astype(jnp.float32))
+
+    def new(q, k, v):
+        out = flash_attention_paired_train(q, k, v, H, scale, ends,
+                                           block_q=16, block_k=16)
+        return jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32))
+
+    lr, gr = jax.value_and_grad(ref, argnums=(0, 1, 2))(qm, km, vm)
+    ln, gn = jax.value_and_grad(new, argnums=(0, 1, 2))(qm, km, vm)
+    assert abs(float(lr - ln)) < 0.5
+    for a, b in zip(gr, gn):
+        np.testing.assert_allclose(np.asarray(b, np.float32),
+                                   np.asarray(a, np.float32),
+                                   rtol=0.1, atol=0.15)
