@@ -1,10 +1,12 @@
 """Decode ablation bench: where does d16 CFG sampling time go?
 
 Variants (each its own jit; persistent compile cache keeps reruns cheap):
-  full          — the shipping decode (bench.py path)
+  full          — the shipping decode (bench.py path; chunked KV cache)
   pallas        — same with the pallas decode attention
   no_vae        — stop before the VQVAE decoder (returns f_hat)
   greedy        — top_k=1 (no top-900 + top-p machinery)
+  concat        — grow-by-concat KV caches (the pre-chunked representation)
+  prealloc      — in-place preallocated KV caches (serving layout)
 
 Run on the TPU: python scripts/bench_ablate.py [--batch 64] [--iters 5]
 """
@@ -55,8 +57,16 @@ def main():
         return S.decode_cfg(vp, ve, var_cfg, vae_cfg, rng, lab, cfg_scale=1.5,
                             top_k=1, dtype=jnp.bfloat16).image
 
+    def cache(impl):
+        def fn(vp, ve, rng, lab):
+            return S.decode_cfg(vp, ve, var_cfg, vae_cfg, rng, lab,
+                                cfg_scale=1.5, top_k=900, top_p=0.96,
+                                dtype=jnp.bfloat16, cache_impl=impl).image
+        return fn
+
     for name, fn in [("full", full), ("pallas", pallas), ("no_vae", no_vae),
-                     ("greedy", greedy)]:
+                     ("greedy", greedy), ("concat", cache("concat")),
+                     ("prealloc", cache("prealloc"))]:
         try:
             f = jax.jit(fn)
             out = f(var_params, vae_params, jax.random.PRNGKey(1), labels)
