@@ -176,17 +176,24 @@ def main():
             ))
 
     # ---------------- trainer ----------------
-    init_state, _ = tr.make_train_step(var_cfg, vae_cfg, args, iters_train, dtype=dtype)
+    attn_impl = args.attn
+    if attn_impl == "auto":  # xla wins at L<=680; pallas makes long presets fit
+        attn_impl = "xla" if var_cfg.seq_len <= 680 else "pallas"
+    init_state, _ = tr.make_train_step(var_cfg, vae_cfg, args, iters_train,
+                                       dtype=dtype, attn_impl=attn_impl)
     steps = {}
 
     def step_for(prog_si: int):
         if prog_si not in steps:
             steps[prog_si] = tr.make_train_step(
-                var_cfg, vae_cfg, args, iters_train, prog_si=prog_si, dtype=dtype
+                var_cfg, vae_cfg, args, iters_train, prog_si=prog_si,
+                dtype=dtype, attn_impl=attn_impl
             )[1]
         return steps[prog_si]
 
-    eval_step = tr.make_eval_step(var_cfg, vae_cfg, dtype=dtype)
+    eval_step = tr.make_eval_step(var_cfg, vae_cfg, dtype=dtype,
+                                  attn_impl=attn_impl if attn_impl != "paired"
+                                  else "xla")
     state = init_state(var_params)
     if resume_path:
         state = ckpt.load_checkpoint(resume_path, state)

@@ -165,6 +165,11 @@ class TrainArgs:
     #                 2 attention-core only (d16-class memory/FLOP sweet spot)
     vae_bf16: int = 0  # tokenize in bf16 (quantizer stats stay fp32); may
     #                    flip rare argmin token choices vs the fp32 default
+    attn: str = "auto"  # training attention impl: auto | xla | pallas |
+    #                     hybrid | paired. auto = xla at the 256px preset
+    #                     (measured fastest), streaming pallas beyond it
+    #                     (the factored in-kernel mask is what makes the
+    #                     512px/1024px presets fit)
     dbg_nan: bool = False  # enable jax debug_nans/debug_infs (arg_util.py:137)
     local_out_dir_path: str = "local_output"
     tb_log_dir_path: str = ""

@@ -258,6 +258,8 @@ def attn_apply(
     operands for the MXU anyway."""
     b, l, c = x.shape
     h, d = cfg.num_heads, cfg.head_dim
+    if impl == "paired" and not (h % 2 == 0 and d * 2 == 128):
+        impl = "xla"  # paired needs head_dim-64 pairs; tiny/debug configs don't
     dtype = x.dtype
     qkv_bias = jnp.concatenate(
         [ap["q_bias"], jnp.zeros_like(ap["q_bias"]), ap["v_bias"]]
