@@ -66,9 +66,17 @@ def modulated_layernorm(
     # (1, bl, c) block at B=128 costs more in launches than in bandwidth
     bb = 8 if b % 8 == 0 else (4 if b % 4 == 0 else (2 if b % 2 == 0 else 1))
     # in+out blocks, fp32 temps and double-buffering all draw on the ~16M
-    # scoped-VMEM budget: cap the input block at 2M
-    while bb > 1 and bb * bl * c * x.dtype.itemsize > 2 * 1024 * 1024:
+    # scoped-VMEM budget: cap the input block (VAR_TPU_LN_BLOCK_BYTES is an
+    # A/B knob — the profile shows the big-stage LN passes at ~40 GB/s,
+    # suggesting the 2M default plus its fp32 temps starves double
+    # buffering)
+    import os
+
+    cap = int(os.environ.get("VAR_TPU_LN_BLOCK_BYTES", 2 * 1024 * 1024))
+    while bb > 1 and bb * bl * c * x.dtype.itemsize > cap:
         bb //= 2
+    while bl > 8 and bb * bl * c * x.dtype.itemsize > cap:
+        bl //= 2
     grid = (b // bb, pl.cdiv(l, bl))
     # (B, 1, C) so the modulation blocks' trailing dims equal the array's
     # (TPU lowering requires trailing block dims %8/%128 or dim-equal)
