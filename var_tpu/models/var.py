@@ -270,10 +270,13 @@ def attn_apply(
     # are layout-clean
     qkv = x @ ap["qkv"]["kernel"].astype(dtype) + qkv_bias  # (B, L, 3C)
 
-    def _split_norm(qkv_m, scale_mul_p):
+    def _split_norm(qkv_m, scale_mul_p, with_q: bool = True):
         """Merged qkv -> (q, k, v) merged (B, L, C) + static softmax scale,
-        with the optional per-head QK L2 norm applied."""
-        qm_, km_, vm_ = qkv_m[..., :c], qkv_m[..., c : 2 * c], qkv_m[..., 2 * c :]
+        with the optional per-head QK L2 norm applied. ``with_q=False``
+        skips the q slice + norm entirely (the chunked decode kernel reads
+        raw q lanes straight from the fused qkv and normalizes in-kernel)."""
+        qm_ = qkv_m[..., :c] if with_q else None
+        km_, vm_ = qkv_m[..., c : 2 * c], qkv_m[..., 2 * c :]
         if cfg.attn_l2_norm:
             sc = 1.0
             scale_mul = jnp.exp(jnp.minimum(scale_mul_p.astype(F32),
@@ -284,12 +287,13 @@ def attn_apply(
             # intermediates or lane-64 layouts.
             seg = jnp.asarray(np.kron(np.eye(h, dtype=np.float32),
                                       np.ones((d, 1), np.float32)))  # (C, H)
-            qf = qm_.astype(F32)
             kf = km_.astype(F32)
-            inv_q = jax.lax.rsqrt(jnp.square(qf) @ seg + 1e-24) * scale_mul
             inv_k = jax.lax.rsqrt(jnp.square(kf) @ seg + 1e-24)
-            qm_ = (qf * (inv_q @ seg.T)).astype(dtype)
             km_ = (kf * (inv_k @ seg.T)).astype(dtype)
+            if with_q:
+                qf = qm_.astype(F32)
+                inv_q = jax.lax.rsqrt(jnp.square(qf) @ seg + 1e-24) * scale_mul
+                qm_ = (qf * (inv_q @ seg.T)).astype(dtype)
         else:
             sc = 0.25 / math.sqrt(d)
         return qm_, km_, vm_, sc
@@ -331,23 +335,16 @@ def attn_apply(
         out = wrapped(qkv, ap.get("scale_mul"))
         return _linear(ap["proj"], out), None
 
-    qm, km, vm, scale = _split_norm(qkv, ap.get("scale_mul"))
-    if cache_kv is None and impl == "paired":
-        from var_tpu.ops.pallas.flash_attention import flash_attention_paired_train
-
-        out = flash_attention_paired_train(qm, km, vm, h, scale, scale_ends)
-        return _linear(ap["proj"], out), None
-    new_kv = None
-    k_att_m = v_att_m = None  # merged (B, Lk, C) forms for the decode kernel
     if cache_kv is not None and isinstance(cache_kv[0], str):  # ("chunks", ...)
         # chunked decode cache: past stages stay as the (depth, B, l_i, C)
         # stacks the depth-scan produced — never copied, never concatenated.
         # The paired kernel reads each chunk in place at row ``idx`` via
-        # scalar prefetch; outside its envelope the chunks are materialized
-        # into one (B, Lk, C) buffer for the XLA dot path (correct but
-        # copy-heavy — the envelope covers every 256px-preset stage).
+        # scalar prefetch, reads q's lanes straight from the fused qkv (no
+        # slice materialized), and applies the per-head q L2 norm in-kernel;
+        # outside its envelope the chunks are materialized into one
+        # (B, Lk, C) buffer for the XLA dot path (correct but copy-heavy —
+        # the envelope covers every 256px-preset stage).
         _, cks, cvs, idx = cache_kv
-        new_kv = (km, vm)
         lk = l + sum(int(ck.shape[-2]) for ck in cks)
         paired_ok = (impl == "pallas" and bias is None and d * 2 == 128
                      and h % 2 == 0 and lk <= PAIRED_VMEM_BUDGET // (4 * c)
@@ -355,9 +352,16 @@ def attn_apply(
         if paired_ok:
             from var_tpu.ops.pallas.flash_attention import flash_decode_paired_chunks
 
-            out = flash_decode_paired_chunks(qm, (*cks, km), (*cvs, vm), idx,
-                                             h, scale)
-            return _linear(ap["proj"], out), new_kv
+            _, km, vm, scale = _split_norm(qkv, ap.get("scale_mul"),
+                                           with_q=False)
+            sm = None
+            if cfg.attn_l2_norm:
+                sm = jnp.exp(jnp.minimum(ap["scale_mul"].astype(F32),
+                                         math.log(100.0))).reshape(h)
+            out = flash_decode_paired_chunks(qkv, (*cks, km), (*cvs, vm), idx,
+                                             h, scale, q_l2_scale_mul=sm)
+            return _linear(ap["proj"], out), (km, vm)
+        qm, km, vm, scale = _split_norm(qkv, ap.get("scale_mul"))
         parts_k = [jax.lax.dynamic_index_in_dim(ck, idx, 0, False) for ck in cks]
         parts_v = [jax.lax.dynamic_index_in_dim(cv, idx, 0, False) for cv in cvs]
         k_att_m = jnp.concatenate(parts_k + [km], axis=1) if parts_k else km
@@ -367,7 +371,15 @@ def attn_apply(
         v_att = v_att_m.reshape(b, lk, h, d)
         out = attention(q, k_att, v_att, scale, bias=bias,
                         impl="xla" if impl == "pallas" else impl).reshape(b, l, c)
-        return _linear(ap["proj"], out), new_kv
+        return _linear(ap["proj"], out), (km, vm)
+    qm, km, vm, scale = _split_norm(qkv, ap.get("scale_mul"))
+    if cache_kv is None and impl == "paired":
+        from var_tpu.ops.pallas.flash_attention import flash_attention_paired_train
+
+        out = flash_attention_paired_train(qm, km, vm, h, scale, scale_ends)
+        return _linear(ap["proj"], out), None
+    new_kv = None
+    k_att_m = v_att_m = None  # merged (B, Lk, C) forms for the decode kernel
     if cache_kv is not None and len(cache_kv) == 4:
         # preallocated decode cache: full (depth, B, Lmax, C) buffers written
         # in place at static offset ``cum`` (block index ``idx`` may be a

@@ -422,8 +422,9 @@ def _fwd_kernel_paired(q_ref, k_ref, v_ref, o_ref, *, lk: int, nh: int, d: int):
         o_ref[0, :, sl] = (o2[:bq] * m_even + o2[bq:] * m_odd).astype(o_ref.dtype)
 
 
-def _fwd_kernel_paired_chunks(idx_ref, q_ref, *rest, nchunks: int,
-                              lks: Tuple[int, ...], nh: int, d: int):
+def _fwd_kernel_paired_chunks(idx_ref, sm_ref, q_ref, *rest, nchunks: int,
+                              lks: Tuple[int, ...], nh: int, d: int,
+                              scale: float, l2: bool):
     """Chunked-KV variant of :func:`_fwd_kernel_paired`: the cache is a list
     of per-stage (depth, B, l_i, C) chunks read in place at layer ``idx_ref``
     (scalar-prefetched scan counter) — no concatenated cache buffer exists in
@@ -469,6 +470,18 @@ def _fwd_kernel_paired_chunks(idx_ref, q_ref, *rest, nchunks: int,
     for j in range(nh // 2):
         sl = slice(j * 2 * d, (j + 1) * 2 * d)  # one full 128-lane tile
         qt = q[:, sl] if fast else q[:, sl].astype(F32)
+        if l2:
+            # per-head q L2 norm + learned scale folded in (the k side is
+            # normalized once at cache-write time outside): a lane-masked
+            # rowwise sumsq per 64-lane half — fp32 math matching the
+            # external seg-matmul formulation, zero sub-tile slicing
+            qf = qt.astype(F32)
+            sq = qf * qf
+            s_e = jnp.sum(sq * m_even, axis=-1, keepdims=True)  # (Bq, 1)
+            s_o = jnp.sum(sq * m_odd, axis=-1, keepdims=True)
+            inv = (m_even * (jax.lax.rsqrt(s_e + 1e-24) * sm_ref[2 * j])
+                   + m_odd * (jax.lax.rsqrt(s_o + 1e-24) * sm_ref[2 * j + 1]))
+            qt = (qf * inv).astype(q.dtype) if fast else qf * inv
         kt = k[:, sl] if fast else k[:, sl].astype(F32)
         vt = v[:, sl] if fast else v[:, sl].astype(F32)
         me = m_even.astype(qt.dtype)
@@ -476,6 +489,8 @@ def _fwd_kernel_paired_chunks(idx_ref, q_ref, *rest, nchunks: int,
         qe = jnp.concatenate([qt * me, qt * mo], axis=0)  # (2Bq, 128)
         s = jax.lax.dot_general(qe, kt, (((1,), (1,)), ((), ())),
                                 preferred_element_type=F32)  # (2Bq, sum bk_i)
+        if scale != 1.0:  # post-dot, matching the XLA path's logits * scale
+            s = s * scale
         s = jnp.where(col_ok, s, NEG_INF)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s)
@@ -496,6 +511,7 @@ def flash_decode_paired_chunks(
     scale: float = 1.0,
     block_q: int = 256,
     interpret: Optional[bool] = None,
+    q_l2_scale_mul: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Paired-head decode attention over a CHUNKED KV cache.
 
@@ -508,10 +524,20 @@ def flash_decode_paired_chunks(
     cache copies (~110 ms/batch at d16 bs128, 26% of decode device time).
     Behaviorally identical to concatenating the chunks and calling
     :func:`flash_decode_paired` (up to fp32 sum reassociation).
+
+    ``q_m`` may carry extra trailing lanes (e.g. the fused (B, L, 3C) qkv
+    projection): only the first C = 64 * num_heads lanes are read, through
+    the block spec — the q slice is never materialized. With
+    ``q_l2_scale_mul`` ((H,) fp32 learned per-head scales), the per-head q
+    L2 norm runs INSIDE the kernel (SMEM-prefetched scales), replacing the
+    external fp32 normalize chain (~40 ms/batch at d16 bs128 together with
+    the avoided slice); the cached k side stays normalized at write time.
+    ``scale`` is applied post-dot like the XLA path.
     """
-    b, lq, c = q_m.shape
-    d = c // num_heads
-    assert num_heads % 2 == 0 and 2 * d == 128, "paired kernel wants D=64 pairs"
+    b, lq, cq = q_m.shape
+    d = 64
+    c = d * num_heads
+    assert num_heads % 2 == 0 and cq % c == 0, "paired kernel wants D=64 pairs"
     assert len(k_chunks) == len(v_chunks) and len(k_chunks) >= 1
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
@@ -524,32 +550,35 @@ def flash_decode_paired_chunks(
         bk = _pick_block(kc.shape[-2], 1 << 30)  # whole chunk, sublane-rounded
         if kc.ndim == 4:  # stacked (depth, B, l, C): row picked by the scalar
             return pl.BlockSpec((1, 1, bk, c),
-                                lambda i, qi, s: (s[0], i, 0, 0),
+                                lambda i, qi, s, sm: (s[0], i, 0, 0),
                                 memory_space=pltpu.VMEM)
-        return pl.BlockSpec((1, bk, c), lambda i, qi, s: (i, 0, 0),
+        return pl.BlockSpec((1, bk, c), lambda i, qi, s, sm: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    qs = (q_m.astype(F32) * scale).astype(q_m.dtype)
+    l2 = q_l2_scale_mul is not None
+    sm = (jnp.asarray(q_l2_scale_mul, F32).reshape(num_heads) if l2
+          else jnp.ones((num_heads,), F32))
     idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
     return pl.pallas_call(
         functools.partial(_fwd_kernel_paired_chunks, nchunks=nchunks,
-                          lks=lks, nh=num_heads, d=d),
+                          lks=lks, nh=num_heads, d=d,
+                          scale=float(scale), l2=l2),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, bq, c), lambda i, qi, s: (i, qi, 0),
+                pl.BlockSpec((1, bq, c), lambda i, qi, s, sm: (i, qi, 0),
                              memory_space=pltpu.VMEM),
                 *[_chunk_spec(kc) for kc in k_chunks],
                 *[_chunk_spec(vc) for vc in v_chunks],
             ],
-            out_specs=pl.BlockSpec((1, bq, c), lambda i, qi, s: (i, qi, 0),
+            out_specs=pl.BlockSpec((1, bq, c), lambda i, qi, s, sm: (i, qi, 0),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((b, lq, c), q_m.dtype),
         compiler_params=_params(("parallel", "parallel")),
         interpret=interpret,
-    )(idx, qs, *k_chunks, *v_chunks)
+    )(idx, sm, q_m, *k_chunks, *v_chunks)
 
 
 def flash_decode_paired(
