@@ -274,3 +274,42 @@ def test_decode_cache_prealloc_matches_concat():
     np.testing.assert_array_equal(np.asarray(res_p.tokens), np.asarray(res_c.tokens))
     np.testing.assert_allclose(np.asarray(res_p.image), np.asarray(res_c.image),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_chunked_kernel_fused_qkv_and_inkernel_l2():
+    """The chunked kernel reading q from a fused (B, L, 3C) buffer with the
+    per-head L2 norm + learned scales applied IN-KERNEL == slicing and
+    normalizing q externally then calling the single-buffer kernel."""
+    from var_tpu.ops.pallas.flash_attention import flash_decode_paired_chunks
+
+    h, depth, layer = 4, 3, 1
+    c = 64 * h
+    b, lcur = 2, 16
+    lens = (9, 16)
+    lk = sum(lens) + lcur
+    r = jax.random.split(jax.random.PRNGKey(21), 4)
+    qkv = jax.random.normal(r[0], (b, lcur, 3 * c), F32)
+    k_full = jax.random.normal(r[1], (b, lk, c), F32)
+    v_full = jax.random.normal(r[2], (b, lk, c), F32)
+    sm = jnp.exp(jax.random.normal(r[3], (h,), F32) * 0.3)
+
+    # external reference: slice q, per-head L2 norm * sm, dense attention
+    q = qkv[..., :c].reshape(b, lcur, h, 64)
+    qn = q / jnp.sqrt(jnp.sum(jnp.square(q), -1, keepdims=True) + 1e-24)
+    qn = (qn * sm[None, None, :, None]).reshape(b, lcur, c)
+    want = flash_decode_paired(qn, k_full, v_full, h, scale=1.0)
+
+    ks, vs, off = [], [], 0
+    for i, ln in enumerate(lens):
+        rr = jax.random.split(jax.random.PRNGKey(100 + i), 2)
+        kc = jax.random.normal(rr[0], (depth, b, ln, c), F32)
+        vc = jax.random.normal(rr[1], (depth, b, ln, c), F32)
+        ks.append(kc.at[layer].set(k_full[:, off:off + ln]))
+        vs.append(vc.at[layer].set(v_full[:, off:off + ln]))
+        off += ln
+    ks.append(k_full[:, off:])
+    vs.append(v_full[:, off:])
+    got = flash_decode_paired_chunks(qkv, ks, vs, layer, h, scale=1.0,
+                                     q_l2_scale_mul=sm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
