@@ -177,6 +177,8 @@ def main():
 
     # ---------------- trainer ----------------
     attn_impl = args.attn
+    assert attn_impl in ("auto", "xla", "pallas", "hybrid", "paired"), \
+        f"--attn={attn_impl!r}: want auto|xla|pallas|hybrid|paired"
     if attn_impl == "auto":  # xla wins at L<=680; pallas makes long presets fit
         attn_impl = "xla" if var_cfg.seq_len <= 680 else "pallas"
     init_state, _ = tr.make_train_step(var_cfg, vae_cfg, args, iters_train,

@@ -98,23 +98,12 @@ def decode_tokens_cfg(
     cur = 0
     token_segs = []
     first_l = var_cfg.first_l
-    d2, h2 = var_cfg.head_dim * 2, var_cfg.num_heads
-    paired_max_lk = var_mod.PAIRED_VMEM_BUDGET // (4 * var_cfg.embed_dim)
     for si, pn in enumerate(pns):
         ratio = si / var_cfg.num_stages_minus_1
         seg = pn * pn
-        if attend is not None and isinstance(attend[0], str) and attend[1]:
-            # leave chunked storage at the first stage the paired kernel
-            # cannot serve (cache past its VMEM envelope, or a non-paired
-            # head geometry): the chunked XLA fallback would re-join the
-            # chunks per LAYER inside the depth scan — depth x the copy
-            # traffic of plain concat caches (the 512px presets' long tail
-            # stages). All lengths are static, so this is a compile-time
-            # branch, and the one-off concat equals the cache state the
-            # concat representation would hold anyway.
-            lk_total = sum(int(k.shape[-2]) for k in attend[1]) + ntm.shape[1]
-            if lk_total > paired_max_lk or d2 != 128 or h2 % 2:
-                attend = var_mod.chunks_to_concat(attend)
+        if attend is not None and isinstance(attend[0], str):
+            attend = var_mod.maybe_concat_chunks(attend, ntm.shape[1],
+                                                 var_cfg, attn_impl)
         x, grown = var_mod.transformer_stage(
             var_params, var_cfg, ntm, ctx, attend, dtype=dtype, attn_impl=attn_impl
         )
@@ -348,16 +337,12 @@ def smooth_sampling(
     sum_ll = jnp.float32(0.0)
     sum_dll = jnp.float32(0.0)
     token_segs = []
-    paired_max_lk = var_mod.PAIRED_VMEM_BUDGET // (4 * var_cfg.embed_dim)
     for si, pn in enumerate(pns):
         ratio = si / var_cfg.num_stages_minus_1
         seg = pn * pn
-        if isinstance(caches[0], str) and caches[1]:
-            # same chunked -> concat switchover as decode_tokens_cfg
-            lk_total = sum(int(k.shape[-2]) for k in caches[1]) + ntm.shape[1]
-            if (lk_total > paired_max_lk or var_cfg.head_dim * 2 != 128
-                    or var_cfg.num_heads % 2):
-                caches = var_mod.chunks_to_concat(caches)
+        if isinstance(caches[0], str):
+            caches = var_mod.maybe_concat_chunks(caches, ntm.shape[1],
+                                                 var_cfg, attn_impl)
         x, caches = var_mod.transformer_stage(
             var_params, var_cfg, ntm, ctx, caches, dtype=dtype, attn_impl=attn_impl
         )

@@ -155,7 +155,6 @@ def upsample2x_deconv(p: dict, x: jax.Array) -> jax.Array:
     pick exactly the right taps (zeros fall on the dilation gaps). Exact
     math — same function as :func:`upsample2x` / the repeat oracle — with
     no phase stack / interleave transpose in the graph."""
-    b, h, w, c = x.shape
     dtype = x.dtype
     k = p["conv"]["kernel"].astype(dtype)  # (3, 3, Cin, Cout)
     C = jnp.asarray(np.array([[1, 0, 0], [1, 1, 0], [0, 1, 1], [0, 0, 1]],

@@ -722,6 +722,26 @@ def init_prealloc_caches(cfg: VARConfig, batch: int, lmax: Optional[int] = None,
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), 0
 
 
+def maybe_concat_chunks(caches, l_next: int, cfg: VARConfig,
+                        attn_impl: str = "auto"):
+    """Leave chunked storage at the first stage the paired kernel cannot
+    serve: cache past its VMEM envelope, non-paired head geometry, or a
+    non-pallas attention impl (the chunked XLA fallback re-joins the chunks
+    per LAYER inside the depth scan — depth x the copy traffic of plain
+    concat caches). All lengths static -> a compile-time branch; the one-off
+    concat equals the cache state the concat representation would hold."""
+    if not (isinstance(caches[0], str) and caches[1]):
+        return caches
+    if attn_impl == "auto":
+        attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    lk_total = sum(int(k.shape[-2]) for k in caches[1]) + l_next
+    if (attn_impl != "pallas" or cfg.head_dim * 2 != 128
+            or cfg.num_heads % 2 or
+            lk_total > PAIRED_VMEM_BUDGET // (4 * cfg.embed_dim)):
+        return chunks_to_concat(caches)
+    return caches
+
+
 def chunks_to_concat(caches) -> Tuple[jax.Array, jax.Array]:
     """Materialize a chunked cache into the grow-by-concat (K, V) form —
     the decode switches to this representation at the first stage whose

@@ -20,12 +20,19 @@ from __future__ import annotations
 import functools
 from typing import Optional
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 F32 = jnp.float32
+
+# input-block byte cap (A/B knob): read ONCE at import so it is stable for
+# the process — modulated_layernorm is jit-cached by shapes only, and a
+# trace-time env read would silently pin the first-seen value anyway
+_BLOCK_CAP = int(os.environ.get("VAR_TPU_LN_BLOCK_BYTES", 2 * 1024 * 1024))
 
 
 def _kernel(x_ref, s_ref, sh_ref, o_ref, *, eps: float):
@@ -70,13 +77,12 @@ def modulated_layernorm(
     # A/B knob — the profile shows the big-stage LN passes at ~40 GB/s,
     # suggesting the 2M default plus its fp32 temps starves double
     # buffering)
-    import os
-
-    cap = int(os.environ.get("VAR_TPU_LN_BLOCK_BYTES", 2 * 1024 * 1024))
-    while bb > 1 and bb * bl * c * x.dtype.itemsize > cap:
+    while bb > 1 and bb * bl * c * x.dtype.itemsize > _BLOCK_CAP:
         bb //= 2
-    while bl > 8 and bb * bl * c * x.dtype.itemsize > cap:
-        bl //= 2
+    while bl > 8 and bb * bl * c * x.dtype.itemsize > _BLOCK_CAP:
+        # keep the sequence block %8 (TPU block-dim constraint; bl == l is
+        # only exempt while untouched)
+        bl = max(8, -(-(bl // 2) // 8) * 8)
     grid = (b // bb, pl.cdiv(l, bl))
     # (B, 1, C) so the modulation blocks' trailing dims equal the array's
     # (TPU lowering requires trailing block dims %8/%128 or dim-equal)
