@@ -61,6 +61,38 @@ def test_two_step_train_smoke():
 
 
 @pytest.mark.slow
+def test_training_learns_overfit():
+    """The trainer must actually LEARN, not just stay finite: overfit a fixed
+    8-image batch and require the unsmoothed CE to fall below 25% of its
+    initial value. This is the guard every equality/finiteness test misses —
+    a sign error in the loss or an optimizer bug that agrees across configs
+    would sail through those but fail here. (Reference trains real models:
+    train.py:171-250, trainer.py:86-160.)"""
+    vae_cfg, var_cfg, vae_params, var_params = tiny_setup()
+    # tlr = ac * tblr * bs / 256 = 2e-3; sche=lin0 stays at factor 1.0 for
+    # the first 5% of max_it (= 500 steps here), so the whole run trains at
+    # full lr with no warmup (wp=0)
+    args = TrainArgs(depth=2, bs=8, ac=1, ep=10, tblr=6.4e-2, ls=0.0,
+                     wp=0.0, pn="1_2_3").finalize(world_size=1)
+    init_state, step = tr.make_train_step(
+        var_cfg, vae_cfg, args, iters_per_ep=1000, dtype=jnp.float32
+    )
+    state = init_state(var_params)
+    imgs = jax.random.uniform(jax.random.PRNGKey(7), (1, 8, 6, 6, 3)) * 2 - 1
+    labels = (jnp.arange(8) % 6).reshape(1, 8)
+    ces = []
+    for it in range(400):
+        # fixed rng: deterministic batch, no dropout variation in the signal
+        state, m = step(state, vae_params, imgs, labels, jax.random.PRNGKey(0),
+                        jnp.int32(it), jnp.float32(1.0))
+        if it % 50 == 0 or it == 399:
+            ces.append(float(m.Lm))
+    assert np.all(np.isfinite(ces)), ces
+    assert ces[-1] < 0.25 * ces[0], f"CE did not learn: {ces}"
+    assert float(m.accm) > 60.0, f"train acc stayed low: {float(m.accm)}"
+
+
+@pytest.mark.slow
 def test_progressive_training_stage():
     """prog_si=1 trains only scales 0..1 (5 tokens) with re-weighted loss."""
     vae_cfg, var_cfg, vae_params, var_params = tiny_setup()
