@@ -129,6 +129,32 @@ def test_edit_mask_decode_keeps_gt_embeddings(setup):
     np.testing.assert_allclose(np.asarray(res.image), np.asarray(want), atol=2e-5)
 
 
+@pytest.mark.slow
+def test_fid_protocol_end_to_end(tmp_path):
+    """The full FID-protocol mechanics at small N: fid_sample writes one
+    {i:06d}.png per (class, sample) with the benchmark recipe, resume skips
+    existing files, and --pack produces the OpenAI-evaluator npz with
+    arr_0 of shape (N, H, H, 3) uint8 (reference README.md:151-157,
+    utils/misc.py:360-381). Tiny tokenizer geometry; the protocol — not the
+    model quality — is under test."""
+    from var_tpu.apps import fid_sample
+
+    out = str(tmp_path / "fid")
+    argv = ["--depth", "2", "--pn", "1_2_3", "--num_classes", "4",
+            "--per_class", "2", "--batch", "4", "--out_dir", out,
+            "--V", "64", "--Cvae", "8", "--ch", "32", "--pack"]
+    fid_sample.main(argv)
+    pngs = sorted(os.listdir(out))
+    assert pngs == [f"{i:06d}.png" for i in range(8)]
+    data = np.load(out + ".npz")
+    arr = data["arr_0"]
+    assert arr.shape == (8, 48, 48, 3) and arr.dtype == np.uint8
+    # resume: re-running must not resample (mtimes unchanged)
+    mtimes = {f: os.path.getmtime(os.path.join(out, f)) for f in pngs}
+    fid_sample.main(argv[:-1])  # no --pack on resume
+    assert {f: os.path.getmtime(os.path.join(out, f)) for f in pngs} == mtimes
+
+
 def test_save_grid(tmp_path):
     from var_tpu.apps.sample import save_grid
 

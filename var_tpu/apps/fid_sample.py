@@ -30,6 +30,11 @@ def main(argv=None):
     p.add_argument("--top_p", type=float, default=0.96)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--pack", action="store_true", help="pack npz when done")
+    # tokenizer geometry overrides — small-scale protocol dry-runs only;
+    # FID numbers are meaningful with the published geometry (defaults)
+    p.add_argument("--V", type=int, default=4096)
+    p.add_argument("--Cvae", type=int, default=32)
+    p.add_argument("--ch", type=int, default=160)
     args = p.parse_args(argv)
 
     import jax
@@ -47,6 +52,7 @@ def main(argv=None):
     pns = parse_patch_nums(args.pn)
     vae_cfg, var_cfg, vae_params, var_params = build_vae_var(
         patch_nums=pns, depth=args.depth, num_classes=args.num_classes,
+        V=args.V, Cvae=args.Cvae, ch=args.ch,
         vae_ckpt=args.vae_ckpt if os.path.exists(args.vae_ckpt) else None,
         var_ckpt=args.var_ckpt if os.path.exists(args.var_ckpt) else None,
     )

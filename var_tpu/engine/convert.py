@@ -37,7 +37,10 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 
 def to_numpy_state_dict(sd) -> Dict[str, np.ndarray]:
-    """Accept a torch state_dict or {str: ndarray} and return numpy copies."""
+    """Accept a torch state_dict or {str: ndarray} and return numpy copies.
+    Already-numpy dicts are returned unchanged (no full-checkpoint copy)."""
+    if all(isinstance(v, np.ndarray) for v in sd.values()):
+        return sd
     out = {}
     for k, v in sd.items():
         out[k] = v if isinstance(v, np.ndarray) else v.detach().cpu().numpy()

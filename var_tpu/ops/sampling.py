@@ -81,7 +81,9 @@ def sample_with_top_k_top_p(
     """
     v = logits.shape[-1]
     lf = logits.astype(jnp.float32)
-    k = top_k if top_k > 0 else v
+    # k >= V selects everything — clamp so small-vocab configs can keep the
+    # benchmark recipe's top_k=900 (torch .topk would reject k > V)
+    k = min(top_k, v) if top_k > 0 else v
     if top_k <= 0 and top_p <= 0.0:  # no filtering: plain categorical
         return jax.random.categorical(rng, lf, axis=-1).astype(jnp.int32)
     if impl == "auto":
@@ -89,7 +91,7 @@ def sample_with_top_k_top_p(
     if impl == "pallas" and not approx:
         from var_tpu.ops.pallas.select import float_key, topk_topp_bound
 
-        bound = topk_topp_bound(lf, top_k, top_p)
+        bound = topk_topp_bound(lf, k, top_p)
         masked = jnp.where(float_key(lf) >= bound[..., None], lf, _NEG_INF)
         return jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
     if approx and k < v:
