@@ -125,17 +125,23 @@ def var_param_sharding_rules(mesh: Mesh):
 
 
 def shard_var_params(mesh: Mesh, params):
-    """Apply TP rules where they match; replicate everything else."""
+    """Apply TP rules where they match; replicate everything else.
+
+    Works for both block layouts: rules are written against unstacked 2-D
+    kernels, and stacked params (leading depth axis from
+    ``stack_block_params``) get the spec left-padded with None so the
+    feature dims — never depth — are the ones sharded."""
     rules = var_param_sharding_rules(mesh)
 
-    def spec_for(path) -> P:
+    def spec_for(path, leaf) -> P:
         names = tuple(p.key for p in path if hasattr(p, "key"))
         for suffix, spec in rules:
             if names[-len(suffix):] == suffix:
-                return spec
+                pad = leaf.ndim - len(spec)
+                return P(*([None] * pad + list(spec))) if pad > 0 else spec
         return P()
 
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: jax.device_put(leaf, NamedSharding(mesh, spec_for(path))),
+        lambda path, leaf: jax.device_put(leaf, NamedSharding(mesh, spec_for(path, leaf))),
         params,
     )
