@@ -36,3 +36,27 @@ def test_local_debug_smoke_is_always_fresh(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "auto-resum" not in r2.stdout
     assert "checkpoint state_dict round-trip OK" in r2.stdout
+
+
+@pytest.mark.slow
+def test_train_with_mesh_sharded_eval(tmp_path):
+    """Full train.py over a tiny folder dataset with --val_freq_ep=1: the
+    mesh-sharded masked eval path (padded ragged final batch, data-sharded
+    jit, no per-host param copy) must run end-to-end and log val stats."""
+    from tests.test_resume import _make_tiny_dataset
+
+    data = str(tmp_path / "data")
+    _make_tiny_dataset(data, n_classes=2, per_class=8, size=48)
+    env = dict(os.environ,
+               VAR_TPU_FORCE_CPU="1",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    out_dir = str(tmp_path / "out")
+    cmd = [sys.executable, "train.py", f"--data_path={data}", "--depth=2",
+           "--bs=8", "--ep=1", "--pn=1_2_3", "--seed=1", "--val_freq_ep=1",
+           "--workers=2", f"--local_out_dir_path={out_dir}"]
+    r = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "val: L_mean" in r.stdout, r.stdout[-3000:]
+    # 4 val images (2/class), ragged vs the 8-row global batch -> n=4
+    assert "(n=4)" in r.stdout, r.stdout[-3000:]

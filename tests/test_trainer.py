@@ -266,6 +266,35 @@ def test_tensor_parallel_step_on_mesh(mp):
     assert max(jax.tree_util.tree_leaves(d)) < 1e-5
 
 
+def test_masked_eval_step_sharded_matches_unpadded():
+    """The mesh-sharded masked eval (train.py's val path): a zero-padded,
+    data-sharded batch with a valid mask must produce exactly the stats of
+    the unpadded batch on one device — padding rows contribute nothing, and
+    the in-jit sums are global across the mesh (no host allreduce)."""
+    from var_tpu.parallel import mesh as pm
+
+    vae_cfg, var_cfg, vae_params, var_params = tiny_setup()
+    eval_step = tr.make_eval_step(var_cfg, vae_cfg, dtype=jnp.float32)
+    imgs = jax.random.uniform(jax.random.PRNGKey(11), (5, 6, 6, 3)) * 2 - 1
+    labels = jnp.arange(5) % 6
+
+    ref = np.asarray(eval_step(var_params, vae_params, imgs, labels,
+                               jnp.ones(5)), np.float64)
+
+    mesh = pm.make_mesh()
+    sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    pad_imgs = jnp.concatenate([imgs, jnp.zeros((3, 6, 6, 3))])
+    pad_labels = jnp.concatenate([labels, jnp.zeros(3, labels.dtype)])
+    valid = jnp.concatenate([jnp.ones(5), jnp.zeros(3)])
+    got = np.asarray(eval_step(
+        jax.device_put(var_params, pm.replicated(mesh)),
+        jax.device_put(vae_params, pm.replicated(mesh)),
+        jax.device_put(pad_imgs, sh), jax.device_put(pad_labels, sh),
+        jax.device_put(valid, sh)), np.float64)
+    assert got[-1] == 5.0
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
 def test_gather_diff_shape():
     """dist.allgather_diff_shape equivalent: pad + all_gather + lengths."""
     from functools import partial

@@ -313,33 +313,48 @@ def main():
         # ---- eval + checkpoint every 10 ep and at the end (train.py:208-231)
         if (ep + 1) % args.val_freq_ep == 0 or (ep + 1) == args.ep:
             if val_iter is not None:
-                stats = np.zeros(5, np.float64)
-                if nproc == 1:
-                    for imgs, labels in val_iter():
-                        if imgs.shape[0] % ndev == 0:
-                            imgs = jax.device_put(imgs, jax.sharding.NamedSharding(
-                                mesh, jax.sharding.PartitionSpec(pm.DATA_AXIS)))
-                        else:  # ragged final batch: replicate instead of shard
-                            imgs = jax.device_put(imgs, pm.replicated(mesh))
-                        stats += np.asarray(eval_step(state.params, vae_params, imgs,
-                                                      jnp.asarray(labels)), np.float64)
-                else:
-                    # rank-local eval over each process's contiguous split +
-                    # allreduce, exactly the reference eval_ep shape
-                    # (trainer.py:54-84). Params are DP-replicated so each
-                    # process can pull a full local copy.
-                    local_params = jax.device_get(state.params)
-                    local_vae = jax.device_get(vae_params)
-                    for imgs, labels in val_iter():
-                        stats += np.asarray(eval_step(local_params, local_vae, imgs,
-                                                      jnp.asarray(labels)), np.float64)
-                    del local_params, local_vae
-                if nproc > 1:  # reference dist.allreduce (trainer.py:80)
-                    from jax.experimental import multihost_utils
+                # Mesh-sharded eval (reference eval_ep, trainer.py:54-84, as
+                # one global computation): every process pads its contiguous
+                # no-pad split (data_sampler.py:6-17) to a fixed vbs rows per
+                # batch and all processes run the SAME sharded jit for the
+                # same number of batches. Params stay mesh-resident (no
+                # per-host full-param device_get — ~8 GB/host at d30) and the
+                # sums come out globally reduced, so no host allreduce either.
+                vbs = max(1, args.batch_size * ndev // nproc)
+                max_split = -(-len(val_ds) // nproc)
+                nb = -(-max_split // vbs)  # identical on every process
+                reso = args.patch_nums[-1] * vae_cfg.downsample
+                eval_sharding = jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec(pm.DATA_AXIS))
 
-                    stats = np.asarray(
-                        multihost_utils.process_allgather(jnp.asarray(stats))
-                    ).sum(axis=0)
+                def put_rows(local):
+                    if nproc == 1:
+                        return jax.device_put(local, eval_sharding)
+                    glb = (nproc * vbs,) + local.shape[1:]
+                    return jax.make_array_from_process_local_data(
+                        eval_sharding, local, glb)
+
+                vit = val_iter()
+                stats = np.zeros(5, np.float64)
+                for _ in range(nb):
+                    try:
+                        imgs, labels = next(vit)
+                        imgs = np.asarray(imgs, np.float32)
+                        labels = np.asarray(labels, np.int32)
+                    except StopIteration:  # this process ran out first
+                        imgs = np.zeros((0, reso, reso, 3), np.float32)
+                        labels = np.zeros((0,), np.int32)
+                    n_local = imgs.shape[0]
+                    valid = np.zeros((vbs,), np.float32)
+                    valid[:n_local] = 1.0
+                    if n_local < vbs:
+                        pad = vbs - n_local
+                        imgs = np.concatenate(
+                            [imgs, np.zeros((pad,) + imgs.shape[1:], np.float32)])
+                        labels = np.concatenate([labels, np.zeros((pad,), np.int32)])
+                    stats += np.asarray(eval_step(
+                        state.params, vae_params, put_rows(imgs),
+                        put_rows(labels), put_rows(valid)), np.float64)
                 tot = stats[-1]
                 vL_mean, vL_tail, vacc_mean, vacc_tail = (stats[:4] / max(tot, 1)).tolist()
                 log(f"[ep {ep}] val: L_mean {vL_mean:.4f} L_tail {vL_tail:.4f} "

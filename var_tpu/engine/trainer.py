@@ -294,26 +294,33 @@ def make_train_step(
 
 def make_eval_step(var_cfg: VARConfig, vae_cfg: VAEConfig, dtype=jnp.bfloat16, attn_impl="xla"):
     """Validation step (reference ``eval_ep``, trainer.py:54-84): returns
-    summed [L_mean*B, L_tail*B, acc_mean_units, acc_tail_units, B] to be
-    all-reduced and divided by the total count."""
+    summed [L_mean_units, L_tail_units, acc_mean_units, acc_tail_units, n]
+    to be divided by the total count ``n``.
+
+    ``valid`` is a per-row (B,) float mask so every process can pad its
+    contiguous no-pad eval split (reference data_sampler.py:6-17) to a
+    mesh-divisible global batch and run the SAME sharded jit — padded rows
+    contribute zero to every sum. Under a data-sharded batch the sums are
+    global (XLA inserts the cross-device reduction), so no host-side
+    allreduce or per-host full-param copy is needed."""
     last_l = var_cfg.patch_nums[-1] ** 2
 
     @jax.jit
-    def step(var_params, vae_params, img, label):
+    def step(var_params, vae_params, img, label, valid):
         idx_bl = vae_mod.img_to_idxBl(vae_params, vae_cfg, img)
         gt = jnp.concatenate(idx_bl, axis=1)
         x_in = q.idxBl_to_var_input(vae_params["quantize"], vae_cfg, idx_bl)
         logits = var_mod.var_forward(var_params, var_cfg, label, x_in, train=False,
                                      dtype=dtype, attn_impl=attn_impl)
-        b = img.shape[0]
+        v = valid.astype(F32)
         ce = cross_entropy(logits, gt)
         pred = jnp.argmax(logits, -1)
         return jnp.stack([
-            ce.mean() * b,
-            ce[:, -last_l:].mean() * b,
-            (pred == gt).sum() * (100.0 / gt.shape[1]),
-            (pred[:, -last_l:] == gt[:, -last_l:]).sum() * (100.0 / last_l),
-            jnp.float32(b),
+            (ce.mean(axis=1) * v).sum(),
+            (ce[:, -last_l:].mean(axis=1) * v).sum(),
+            ((pred == gt).sum(axis=1) * (100.0 / gt.shape[1]) * v).sum(),
+            ((pred[:, -last_l:] == gt[:, -last_l:]).sum(axis=1) * (100.0 / last_l) * v).sum(),
+            v.sum(),
         ])
 
     return step
