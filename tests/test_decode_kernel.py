@@ -195,6 +195,69 @@ def test_chunked_kernel_matches_single_buffer(h, lens, lcur, layer_depth):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_chunked_switchover_fires_at_512px_stage_lengths():
+    """At the 512px preset (pn 1..32, L=2240, reference arg_util.py:244-249)
+    with d16 geometry (C=1024, head_dim 64), the chunked cache must stay
+    chunked through stage 8 (Lk 1216 <= the paired kernel's VMEM envelope,
+    6e6/(4*1024) = 1464 keys) and leave for the concat representation
+    exactly when stage 9's Lk = 2240 crosses it — the mid-pyramid
+    switchover the long presets rely on (models/var.py maybe_concat_chunks)."""
+    pns = (1, 2, 3, 4, 6, 9, 13, 18, 24, 32)
+    cfg = VARConfig(num_classes=1000, depth=16, embed_dim=1024, num_heads=16,
+                    patch_nums=pns, vocab_size=4096, z_channels=32)
+    caches = ("chunks", (), ())
+    switched_at = None
+    for si, pn in enumerate(pns):
+        seg = pn * pn
+        out = var_mod.maybe_concat_chunks(caches, seg, cfg, "pallas")
+        if not isinstance(out[0], str):
+            switched_at = si
+            break
+        # simulate the depth-scan's per-stage chunk append (shapes only:
+        # the budget check reads k.shape[-2], never the values)
+        chunk = jnp.zeros((1, 1, seg, 4))
+        caches = ("chunks", out[1] + (chunk,), out[2] + (chunk,))
+    assert switched_at == 9, f"switchover fired at stage {switched_at}, want 9"
+    # the materialized concat cache holds exactly the 1216 previous keys
+    assert out[0].shape[2] == 1216
+    # at 256px (L=680) the whole pyramid stays inside the envelope
+    cfg256 = VARConfig(num_classes=1000, depth=16, embed_dim=1024,
+                       num_heads=16, vocab_size=4096, z_channels=32)
+    caches = ("chunks", (jnp.zeros((1, 1, 424, 4)),), (jnp.zeros((1, 1, 424, 4)),))
+    assert isinstance(
+        var_mod.maybe_concat_chunks(caches, 256, cfg256, "pallas")[0], str)
+
+
+def test_decode_with_midpyramid_switchover_matches_concat(monkeypatch):
+    """End-to-end greedy decode where the chunked->concat switchover fires
+    MID-pyramid (budget shrunk so stage 4's Lk crosses the envelope): tokens
+    and image must equal the pure concat/XLA decode — the seam the 512px
+    preset hits for real (VERDICT r3 #6)."""
+    from var_tpu.engine.sampler import decode_cfg
+    from var_tpu.models import vae as vae_mod
+
+    var_cfg = _stage_cfg(h=2)
+    vae_cfg = VAEConfig(vocab_size=32, z_channels=8, ch=32, ch_mult=(1, 1),
+                        v_patch_nums=PNS)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(21))
+    vae_params = vae_mod.init_vae_params(k1, vae_cfg)
+    var_params = var_mod.stack_block_params(var_mod.init_var_params(k2, var_cfg))
+    label = jnp.array([1, 3])
+    kw = dict(cfg_scale=1.5, top_k=1, top_p=0.0, dtype=F32)
+    want = decode_cfg(var_params, vae_params, var_cfg, vae_cfg,
+                      jax.random.PRNGKey(5), label, attn_impl="xla",
+                      cache_impl="concat", **kw)
+    # envelope = 30 keys: stages 0-3 (Lk ends 1, 5, 14, 30) stay chunked on
+    # the paired kernel; stage 4 (Lk 55) materializes the concat cache
+    monkeypatch.setattr(var_mod, "PAIRED_VMEM_BUDGET", 30 * 4 * var_cfg.embed_dim)
+    got = decode_cfg(var_params, vae_params, var_cfg, vae_cfg,
+                     jax.random.PRNGKey(5), label, attn_impl="pallas",
+                     cache_impl="chunked", **kw)
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(want.tokens))
+    np.testing.assert_allclose(np.asarray(got.image), np.asarray(want.image),
+                               rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("attn_impl", ["xla", "pallas"])
 def test_decode_cache_chunked_matches_concat(attn_impl):
     """Chunked per-stage caches are a pure storage change: same rng + real
