@@ -46,9 +46,29 @@ def main():
     else:
         raise SystemExit(f"unknown model {which!r} (d20 | d36)")
 
+    rounds = int(sys.argv[sys.argv.index("--rounds") + 1]) if "--rounds" in sys.argv else 1
+    labels = jnp.arange(batch, dtype=jnp.int32) % 1000
+    if rounds > 1:
+        # dispatch batching: ONE program scans `rounds` decodes — amortizes
+        # the remote-dispatch overhead that caps d36 wall throughput
+        from var_tpu.engine.sampler import make_scan_sampler
+
+        scan = make_scan_sampler(var_cfg, vae_cfg, rounds, cfg_scale=1.5,
+                                 top_k=900, top_p=0.96, dtype=jnp.bfloat16)
+        labels_rb = jnp.tile(labels, (rounds, 1))
+        r = scan(var_params, vae_params, jax.random.PRNGKey(1), labels_rb)
+        r.image.block_until_ready()
+        t0 = time.perf_counter()
+        for i in range(iters):
+            r = scan(var_params, vae_params, jax.random.PRNGKey(2 + i), labels_rb)
+        r.image.block_until_ready()
+        dt = (time.perf_counter() - t0) / iters
+        n = batch * rounds
+        print(f"{which} bs{batch} rounds={rounds}: {dt*1000:.1f} ms/dispatch  "
+              f"{n/dt:.2f} img/s wall")
+        return
     sampler = make_sampler(var_cfg, vae_cfg, cfg_scale=1.5, top_k=900,
                            top_p=0.96, dtype=jnp.bfloat16)
-    labels = jnp.arange(batch, dtype=jnp.int32) % 1000
     r = sampler(var_params, vae_params, jax.random.PRNGKey(1), labels)
     r.image.block_until_ready()
     t0 = time.perf_counter()

@@ -155,6 +155,44 @@ def test_fid_protocol_end_to_end(tmp_path):
     assert {f: os.path.getmtime(os.path.join(out, f)) for f in pngs} == mtimes
 
 
+def test_scan_sampler_matches_per_round(setup):
+    """make_scan_sampler: one dispatch scanning R decodes must be bit-equal
+    to R make_sampler calls keyed fold_in(rng, r) — dispatch batching is a
+    pure cost change (the d36 wall-throughput mitigation)."""
+    from var_tpu.engine.sampler import make_sampler, make_scan_sampler
+
+    vae_cfg, var_cfg, vae_params, var_params, img, gt = setup
+    kw = dict(cfg_scale=1.5, top_k=4, top_p=0.9, dtype=jnp.float32)
+    labels_rb = jnp.asarray([[1, 2], [3, 0]], jnp.int32)
+    rng = jax.random.PRNGKey(9)
+    scan = make_scan_sampler(var_cfg, vae_cfg, rounds=2, **kw)
+    got = scan(var_params, vae_params, rng, labels_rb)
+    plain = make_sampler(var_cfg, vae_cfg, **kw)
+    for r in range(2):
+        want = plain(var_params, vae_params, jax.random.fold_in(rng, r),
+                     labels_rb[r])
+        np.testing.assert_array_equal(np.asarray(got.tokens[r]),
+                                      np.asarray(want.tokens))
+        np.testing.assert_allclose(np.asarray(got.image[r]),
+                                   np.asarray(want.image), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_fid_sample_rounds_with_ragged_tail(tmp_path):
+    """fid_sample --rounds 2: dispatch-batched sampling writes the same file
+    set, and the ragged tail (total % (rounds*batch) != 0) falls back to
+    per-batch decodes instead of compiling a short-shape scan."""
+    from var_tpu.apps import fid_sample
+
+    out = str(tmp_path / "fid_r")
+    argv = ["--depth", "2", "--pn", "1_2_3", "--num_classes", "5",
+            "--per_class", "2", "--batch", "2", "--rounds", "2",
+            "--out_dir", out, "--V", "64", "--Cvae", "8", "--ch", "32"]
+    fid_sample.main(argv)  # 10 images: 2 full 4-image dispatches + tail of 2
+    pngs = sorted(os.listdir(out))
+    assert pngs == [f"{i:06d}.png" for i in range(10)]
+
+
 def test_save_grid(tmp_path):
     from var_tpu.apps.sample import save_grid
 

@@ -29,6 +29,10 @@ def main(argv=None):
     p.add_argument("--top_k", type=int, default=900)
     p.add_argument("--top_p", type=float, default=0.96)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--rounds", type=int, default=1,
+                   help="decode batches per device dispatch (lax.scan inside "
+                        "one jit): amortizes host dispatch overhead for bulk "
+                        "generation; resume granularity becomes rounds*batch")
     p.add_argument("--pack", action="store_true", help="pack npz when done")
     # tokenizer geometry overrides — small-scale protocol dry-runs only;
     # FID numbers are meaningful with the published geometry (defaults)
@@ -57,20 +61,39 @@ def main(argv=None):
         var_ckpt=args.var_ckpt if os.path.exists(args.var_ckpt) else None,
     )
     dtype = jnp.float32 if jax.devices()[0].platform == "cpu" else jnp.bfloat16
-    sampler = make_sampler(var_cfg, vae_cfg, cfg_scale=args.cfg, top_k=args.top_k,
-                           top_p=args.top_p, dtype=dtype)
+    kw = dict(cfg_scale=args.cfg, top_k=args.top_k, top_p=args.top_p, dtype=dtype)
+    if args.rounds > 1:
+        from var_tpu.engine.sampler import make_scan_sampler
+
+        scan_sampler = make_scan_sampler(var_cfg, vae_cfg, args.rounds, **kw)
+        chunk = args.rounds * args.batch
+
+        def sampler(vp, vaep, rng, labels):
+            res = scan_sampler(vp, vaep, rng,
+                               jnp.asarray(labels).reshape(args.rounds, args.batch))
+            return res._replace(image=res.image.reshape((-1,) + res.image.shape[2:]))
+    else:
+        sampler = make_sampler(var_cfg, vae_cfg, **kw)
+        chunk = args.batch
     os.makedirs(args.out_dir, exist_ok=True)
 
     total = args.num_classes * args.per_class
     assert args.batch >= 1
-    if total % args.batch:
-        print(f"note: {total} images not divisible by batch {args.batch}; "
-              f"the final short batch will trigger one extra compile")
+    if total % chunk:
+        print(f"note: {total} images not divisible by rounds*batch {chunk}; "
+              f"the final short chunk will trigger one extra compile")
     i = 0
     rng_i = 0
     labels_all = np.repeat(np.arange(args.num_classes), args.per_class)
     while i < total:
-        batch_labels = labels_all[i: i + args.batch]
+        batch_labels = labels_all[i: i + chunk]
+        if args.rounds > 1 and len(batch_labels) < chunk:
+            # ragged tail under dispatch batching: fall back to per-batch
+            # decodes for the remainder (avoids a short-shape scan compile)
+            sampler = make_sampler(var_cfg, vae_cfg, **kw)
+            chunk = args.batch
+            args.rounds = 1
+            continue
         fnames = [os.path.join(args.out_dir, f"{j:06d}.png") for j in range(i, i + len(batch_labels))]
         rng_i += 1
         if all(os.path.exists(f) for f in fnames):
@@ -82,7 +105,7 @@ def main(argv=None):
         for f, img in zip(fnames, imgs):
             Image.fromarray(img).save(f)
         i += len(batch_labels)
-        if (i // args.batch) % 20 == 0:
+        if (i // chunk) % 20 == 0:
             print(f"{i}/{total} images")
     if args.pack:
         create_npz_from_sample_folder(args.out_dir, total)

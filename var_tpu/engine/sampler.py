@@ -273,6 +273,43 @@ def make_sampler(
     )
 
 
+def make_scan_sampler(
+    var_cfg: VARConfig,
+    vae_cfg: VAEConfig,
+    rounds: int,
+    **sampler_kw,
+):
+    """Dispatch-batched sampler: ONE jitted program lax.scans ``rounds``
+    independent decodes and returns stacked results.
+
+    (var_params, vae_params, rng, labels (rounds, B)) ->
+    DecodeResult with leading (rounds, B, ...) axes.
+
+    Each round is bit-identical to ``make_sampler`` called with
+    ``fold_in(rng, round)`` — this is purely a dispatch/cost change: host
+    overhead (args/results round-trip, executable launch) is paid once per
+    ``rounds`` batches. That overhead is what caps big-model wall throughput
+    through a remote-dispatch path (measured d36@512: ~4.6 s/dispatch on a
+    1.08 s/batch program — 0.7 img/s wall vs 3.7 on the device timeline), and
+    it is dead time for bulk generation (the FID protocol's 50k images,
+    reference README.md:151-157). Compile cost is one scan body — the same
+    10-stage graph as the plain sampler."""
+    assert rounds >= 1
+    fn = partial(decode_cfg, **sampler_kw)
+
+    def run(var_params, vae_params, rng, labels_rb):
+        def body(_, xs):
+            r, label_b = xs
+            res = fn(var_params, vae_params, var_cfg, vae_cfg, r, label_b)
+            return 0, res
+
+        keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(jnp.arange(rounds))
+        _, res = jax.lax.scan(body, 0, (keys, labels_rb))
+        return res
+
+    return jax.jit(run)
+
+
 # ---------------------------------------------------------------------------
 # neighbor-constrained "smooth sampling" (reference var.py:366-575)
 
