@@ -41,6 +41,7 @@ def _train_cmd(data, out, ckpt_iters):
     # the resumed run must still be bit-exact
     return [sys.executable, os.path.join(ROOT, "train.py"),
             f"--data_path={data}", "--depth=2", "--bs=8", "--ep=2",
+            "--allow_random_vae=1",
             "--pn=1_2_3", "--hflip=1", "--seed=1", "--val_freq_ep=100",
             "--workers=2", f"--local_out_dir_path={out}",
             f"--ckpt_iters={ckpt_iters}"]

@@ -38,6 +38,24 @@ def test_local_debug_smoke_is_always_fresh(tmp_path):
     assert "checkpoint state_dict round-trip OK" in r2.stdout
 
 
+def test_missing_vae_ckpt_fails_hard(tmp_path):
+    """Without --allow_random_vae, a missing tokenizer checkpoint must abort
+    instead of silently training against random-VAE targets (the reference
+    auto-downloads it, train.py:93-98 — impossible in a zero-egress env)."""
+    data = str(tmp_path / "data")
+    os.makedirs(os.path.join(data, "train", "c0"))
+    os.makedirs(os.path.join(data, "val", "c0"))
+    env = dict(os.environ, VAR_TPU_FORCE_CPU="1",
+               VAR_TPU_VAE_CKPT=str(tmp_path / "nope.pth"))
+    r = subprocess.run(
+        [sys.executable, "train.py", f"--data_path={data}", "--depth=2",
+         "--bs=8", "--ep=1", "--pn=1_2_3",
+         f"--local_out_dir_path={tmp_path / 'out'}"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode != 0
+    assert "allow_random_vae" in (r.stderr + r.stdout)
+
+
 @pytest.mark.slow
 def test_train_with_mesh_sharded_eval(tmp_path):
     """Full train.py over a tiny folder dataset with --val_freq_ep=1: the
@@ -53,7 +71,8 @@ def test_train_with_mesh_sharded_eval(tmp_path):
     out_dir = str(tmp_path / "out")
     cmd = [sys.executable, "train.py", f"--data_path={data}", "--depth=2",
            "--bs=8", "--ep=1", "--pn=1_2_3", "--seed=1", "--val_freq_ep=1",
-           "--workers=2", f"--local_out_dir_path={out_dir}"]
+           "--workers=2", "--allow_random_vae=1",
+           f"--local_out_dir_path={out_dir}"]
     r = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True, text=True,
                        timeout=600)
     assert r.returncode == 0, r.stderr[-3000:]

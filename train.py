@@ -83,9 +83,17 @@ def main():
 
             vae_params = convert_vae(load_torch_state_dict(vae_ckpt), vae_cfg)
             log(f"loaded frozen VAE tokenizer from {vae_ckpt}")
+        elif args.allow_random_vae:
+            log(f"WARNING: VAE checkpoint {vae_ckpt} not found; proceeding "
+                f"with a RANDOM tokenizer (--allow_random_vae=1: training "
+                f"targets are meaningless noise)", force=True)
         else:
-            log(f"WARNING: VAE checkpoint {vae_ckpt} not found; using random "
-                f"tokenizer (training will not be meaningful)", force=True)
+            raise SystemExit(
+                f"VAE checkpoint {vae_ckpt!r} not found. Training against a "
+                f"random tokenizer silently produces meaningless targets "
+                f"(the reference auto-downloads it, train.py:93-98). Point "
+                f"VAR_TPU_VAE_CKPT at the converted vae_ch160v4096z32.pth, "
+                f"or pass --allow_random_vae=1 to proceed anyway.")
     var_params = var_mod.stack_block_params(var_mod.init_var_params(
         r_var, var_cfg, init_std=args.ini, init_head=args.hd,
         init_adaln=args.aln, init_adaln_gamma=args.alng,

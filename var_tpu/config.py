@@ -171,6 +171,10 @@ class TrainArgs:
     #                     (the factored in-kernel mask is what makes the
     #                     512px/1024px presets fit)
     dbg_nan: bool = False  # enable jax debug_nans/debug_infs (arg_util.py:137)
+    allow_random_vae: bool = False  # train without a tokenizer checkpoint
+    #   (random VAE weights make the targets meaningless; the reference
+    #   auto-downloads the ckpt instead, train.py:93-98 — impossible here,
+    #   so a missing ckpt is an error unless this is set)
     local_out_dir_path: str = "local_output"
     tb_log_dir_path: str = ""
     log_txt_path: str = ""

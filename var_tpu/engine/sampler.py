@@ -83,7 +83,7 @@ def decode_tokens_cfg(
     # scan produced and the paired kernel reads them in place — no concat
     # copies (~110 ms/batch at bs128) and no prealloc full-length carries.
     # It dominates both alternatives at every batch (bs64: 109.3 vs concat
-    # 90.9 / prealloc 94.9; bs80: 110.1; bs128: 115.9 = the headline).
+    # 90.9 / prealloc 94.9; bs80: 110.1; bs128: 119.8 = the headline).
     # "concat" remains for kv_window pruning; "prealloc" (in-place
     # dynamic_update_slice buffers) remains as the serving-style layout.
     attend = None
