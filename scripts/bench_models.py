@@ -34,6 +34,17 @@ def main():
         k1, k2 = jax.random.split(jax.random.PRNGKey(0))
         vae_params = vae_mod.init_vae_params(k1, vae_cfg)
         var_params = var_mod.stack_block_params(var_mod.init_var_params(k2, var_cfg))
+    elif which == "d16_512":
+        # 512px decode at d16: L=2240 crosses the paired kernel's VMEM
+        # envelope at stage 9, so this row exercises the chunked->concat
+        # switchover for real (tests pin it on CPU; this measures it)
+        pns = parse_patch_nums("512")
+        vae_cfg = VAEConfig(v_patch_nums=pns)
+        var_cfg = VARConfig.from_depth(16, attn_l2_norm=True, patch_nums=pns)
+        batch, iters = 16, 3
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        vae_params = vae_mod.init_vae_params(k1, vae_cfg)
+        var_params = var_mod.stack_block_params(var_mod.init_var_params(k2, var_cfg))
     elif which == "d36":
         pns = parse_patch_nums("512")
         # factory does host-CPU init for d24+; bf16-cast the block weights on
@@ -44,7 +55,7 @@ def main():
         vae_params = jax.device_put(vae_params)
         batch, iters = 4, 3
     else:
-        raise SystemExit(f"unknown model {which!r} (d20 | d36)")
+        raise SystemExit(f"unknown model {which!r} (d20 | d16_512 | d36)")
 
     rounds = int(sys.argv[sys.argv.index("--rounds") + 1]) if "--rounds" in sys.argv else 1
     labels = jnp.arange(batch, dtype=jnp.int32) % 1000

@@ -94,10 +94,34 @@ def main(coord: str, nproc: int, proc: int, data_root: str, out_json: str) -> No
                           jax.random.PRNGKey(1), jnp.int32(0), jnp.float32(1.0))
         loss = float(metrics.loss)
 
+    # mesh-sharded masked eval (train.py's val path): ragged per-process
+    # splits (proc 0 contributes 4 valid rows, proc 1 only 3 + one zero-pad)
+    # run through ONE sharded jit; the stats must come out globally summed
+    # and identical on every process — no per-host param copy, no allreduce.
+    eval_step = tr.make_eval_step(var_cfg, vae_cfg, dtype=jnp.float32)
+    n_valid = 4 if proc == 0 else 3
+    valid = np.zeros((4,), np.float32)
+    valid[:n_valid] = 1.0
+    ev_imgs = np.asarray(imgs, np.float32).copy()
+    ev_imgs[n_valid:] = 0.0
+    ev_labels = np.asarray(labels, np.int32).copy()
+    ev_labels[n_valid:] = 0
+    rows = NamedSharding(mesh, P(pm.DATA_AXIS))
+    # the train step donated `state`; rebuild identical params for eval
+    ev_params = jax.device_put(var_mod.init_var_params(k2, var_cfg),
+                               pm.replicated(mesh))
+    with mesh:
+        eval_stats = np.asarray(eval_step(
+            ev_params, vae_params,
+            jax.make_array_from_process_local_data(rows, ev_imgs, (glb_bs, reso, reso, 3)),
+            jax.make_array_from_process_local_data(rows, ev_labels, (glb_bs,)),
+            jax.make_array_from_process_local_data(rows, valid, (glb_bs,))))
+
     with open(out_json, "w") as f:
         json.dump(dict(proc=proc, local_indices=list(map(int, local_idxs)),
                        labels=[int(l) for l in labels],
-                       row_sums=[float(s) for s in row_sums], loss=loss), f)
+                       row_sums=[float(s) for s in row_sums], loss=loss,
+                       eval_stats=[float(s) for s in eval_stats]), f)
     print(f"[worker {proc}] wrote {out_json}; loss={loss:.6f}")
 
 

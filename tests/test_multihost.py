@@ -132,3 +132,18 @@ def test_two_process_training_matches_single(tmp_path):
                           jax.random.PRNGKey(1), jnp.int32(0), jnp.float32(1.0))
         single_loss = float(metrics.loss)
     assert abs(single_loss - r0["loss"]) < 1e-4, (single_loss, r0["loss"])
+
+    # 4. mesh-sharded masked eval: both processes report the SAME globally
+    # summed stats (in-jit reduction, no host allreduce), and those stats
+    # equal a single-device eval over exactly the 7 valid rows (proc 0
+    # contributed 4, proc 1 contributed 3 + one zero-pad)
+    np.testing.assert_allclose(r0["eval_stats"], r1["eval_stats"], rtol=1e-6)
+    assert r0["eval_stats"][-1] == 7.0
+    valid_rows = np.concatenate([imgs[:4], imgs[4:7]])
+    valid_labels = np.concatenate([labels[:4], labels[4:7]]).astype(np.int32)
+    eval_step = tr.make_eval_step(var_cfg, vae_cfg, dtype=jnp.float32)
+    ref = np.asarray(eval_step(var_mod.init_var_params(k2, var_cfg),
+                               vae_mod.init_vae_params(k1, vae_cfg),
+                               jnp.asarray(valid_rows), jnp.asarray(valid_labels),
+                               jnp.ones(7)))
+    np.testing.assert_allclose(r0["eval_stats"], ref, rtol=1e-4)

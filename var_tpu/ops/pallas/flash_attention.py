@@ -46,6 +46,13 @@ def _pick_block(n: int, target: int) -> int:
     return target
 
 
+# the paired TRAIN kernels' working set at C=1024 (bq=256, bk=512 blocks +
+# double buffering + fp32 scratch) sits ~2% over Mosaic's default 16M scoped-
+# vmem cap (measured: 16.31M at d16 bs32 256px). v5e has 128M physical VMEM;
+# raise the cap rather than shrink the measured-optimal blocks.
+PTRAIN_VMEM_LIMIT = 32 * 1024 * 1024
+
+
 def _params(dim_sems, vmem_limit: int = 0):
     # vmem_limit raises Mosaic's scoped-vmem stack cap (default 16M; v5e has
     # 128M physical VMEM) for kernels whose per-program intermediates are
@@ -707,6 +714,20 @@ def _fwd_kernel_ptrain(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
             lse_ref[0, 2 * hp + 1, :] = lse2[bq:, 0]
 
 
+def _paired_col(t, hlane, hp: int, bq: int):
+    """(Bq, H) lane-major per-head tile -> (2Bq, 1) paired column: even head
+    rows stacked over odd head rows. Lane-masked reductions keep every
+    operand at natural layout; the sublane concat runs at LANES width
+    because Mosaic implements sublane concats of full-lane tiles only."""
+    col_e = jnp.broadcast_to(
+        jnp.sum(t * (hlane == 2 * hp).astype(F32), axis=1, keepdims=True),
+        (bq, LANES))
+    col_o = jnp.broadcast_to(
+        jnp.sum(t * (hlane == 2 * hp + 1).astype(F32), axis=1, keepdims=True),
+        (bq, LANES))
+    return jnp.concatenate([col_e, col_o], axis=0)[:, :1]
+
+
 def _bwd_dq_kernel_ptrain(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                           dq_ref, dq_scr, *, ends, lq: int, lk: int,
                           nh: int, d: int):
@@ -730,6 +751,13 @@ def _bwd_dq_kernel_ptrain(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     m_odd = 1.0 - m_even
     valid = _mask2(qi, j, bq, bk, lq, lk, ends)
     row_ok = jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0) + j * bk < lk
+    # lse/delta arrive (Bq, H): per-head values live on the lane dim, so the
+    # paired (2Bq, 1) column is two lane-masked reductions + one sublane
+    # concat of full-lane tiles — Mosaic rejects 1-D vector concats, and
+    # narrow (Bq, 1) operands would force relayouts, so stay at LANES width.
+    lse_t = lse_ref[0]    # (Bq, H) f32
+    dlt_t = delta_ref[0]  # (Bq, H) f32
+    hlane = jax.lax.broadcasted_iota(jnp.int32, (1, lse_t.shape[1]), 1)
     for hp in range(nh // 2):
         sl = slice(hp * 2 * d, (hp + 1) * 2 * d)
         qt = q[:, sl] if fast else q[:, sl].astype(F32)
@@ -740,11 +768,8 @@ def _bwd_dq_kernel_ptrain(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         mo = m_odd.astype(qt.dtype)
         qe = jnp.concatenate([qt * me, qt * mo], axis=0)      # (2Bq, 128)
         doe = jnp.concatenate([dot * me, dot * mo], axis=0)   # (2Bq, 128)
-        # paired lse/delta columns: (1, Bq) rows -> (2Bq, 1) column stack
-        lse2 = jnp.concatenate([lse_ref[0, 2 * hp], lse_ref[0, 2 * hp + 1]]
-                               ).reshape(2 * bq, 1)
-        dlt2 = jnp.concatenate([delta_ref[0, 2 * hp], delta_ref[0, 2 * hp + 1]]
-                               ).reshape(2 * bq, 1)
+        lse2 = _paired_col(lse_t, hlane, hp, bq)              # (2Bq, 1)
+        dlt2 = _paired_col(dlt_t, hlane, hp, bq)
         s = jax.lax.dot_general(qe, kt, (((1,), (1,)), ((), ())),
                                 preferred_element_type=F32)
         s = jnp.where(valid, s, NEG_INF)
@@ -791,7 +816,12 @@ def _bwd_dkv_kernel_ptrain(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     # roles swapped: grid dim 1 is the KV block, dim 2 streams q blocks
     valid = _mask2(j, ki, bq, bk, lq, lk, ends)
     qrow_ok = jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0) + j * bq < lq
-    qrow_ok2 = jnp.concatenate([qrow_ok, qrow_ok], axis=0)
+    qrow_ok2 = jnp.concatenate([jnp.broadcast_to(qrow_ok, (bq, LANES)),
+                                jnp.broadcast_to(qrow_ok, (bq, LANES))],
+                               axis=0)[:, :1]
+    lse_t = lse_ref[0]    # (Bq, H) f32
+    dlt_t = delta_ref[0]  # (Bq, H) f32
+    hlane = jax.lax.broadcasted_iota(jnp.int32, (1, lse_t.shape[1]), 1)
     for hp in range(nh // 2):
         sl = slice(hp * 2 * d, (hp + 1) * 2 * d)
         qt = jnp.where(qrow_ok, q[:, sl], 0).astype(
@@ -803,10 +833,8 @@ def _bwd_dkv_kernel_ptrain(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         mo = m_odd.astype(qt.dtype)
         qe = jnp.concatenate([qt * me, qt * mo], axis=0)
         doe = jnp.concatenate([dot * me, dot * mo], axis=0)
-        lse2 = jnp.concatenate([lse_ref[0, 2 * hp], lse_ref[0, 2 * hp + 1]]
-                               ).reshape(2 * bq, 1)
-        dlt2 = jnp.concatenate([delta_ref[0, 2 * hp], delta_ref[0, 2 * hp + 1]]
-                               ).reshape(2 * bq, 1)
+        lse2 = _paired_col(lse_t, hlane, hp, bq)
+        dlt2 = _paired_col(dlt_t, hlane, hp, bq)
         s = jax.lax.dot_general(qe, kt, (((1,), (1,)), ((), ())),
                                 preferred_element_type=F32)
         s = jnp.where(valid, s, NEG_INF)
@@ -858,7 +886,8 @@ def _ptrain_fwd(qm, km, vm, nh, ends, bq, bk, interpret):
             pltpu.VMEM((nh // 2 * 2 * bq, LANES), F32),  # l
             pltpu.VMEM((nh // 2 * 2 * bq, 2 * d), F32),  # acc
         ],
-        compiler_params=_params(("parallel", "parallel", "arbitrary")),
+        compiler_params=_params(("parallel", "parallel", "arbitrary"),
+                                vmem_limit=PTRAIN_VMEM_LIMIT),
         interpret=interpret,
     )(qm, km, vm)
     return out, lse
@@ -874,11 +903,14 @@ def _ptrain_bwd(qm, km, vm, out, lse, do, nh, ends, bq, bk, interpret):
     delta = jax.lax.dot_general(do.astype(F32) * out.astype(F32), seg,
                                 (((2,), (0,)), ((), ())),
                                 preferred_element_type=F32)  # (B, L, H)
-    delta = delta.transpose(0, 2, 1)  # (B, H, L) — tiny (nh x L) per sample
+    # kernels take lse/delta seq-major (B, L, H): per-head values on the lane
+    # dim slice cleanly into (Bq, H) blocks with no in-kernel relayout (the
+    # (B, H, L) head-major layout forced 1-D row concats Mosaic can't lower)
+    lse_t = lse.transpose(0, 2, 1)  # (B, L, H) — tiny
 
     q_spec = pl.BlockSpec((1, bq, c), lambda i, qi, ki: (i, qi, 0), memory_space=pltpu.VMEM)
     kv_spec = pl.BlockSpec((1, bk, c), lambda i, qi, ki: (i, ki, 0), memory_space=pltpu.VMEM)
-    hl_spec = pl.BlockSpec((1, nh, bq), lambda i, qi, ki: (i, 0, qi), memory_space=pltpu.VMEM)
+    hl_spec = pl.BlockSpec((1, bq, nh), lambda i, qi, ki: (i, qi, 0), memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel_ptrain, ends=ends, lq=l, lk=l,
                           nh=nh, d=d),
@@ -887,13 +919,14 @@ def _ptrain_bwd(qm, km, vm, out, lse, do, nh, ends, bq, bk, interpret):
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((b, l, c), qm.dtype),
         scratch_shapes=[pltpu.VMEM((nh // 2 * 2 * bq, 2 * d), F32)],
-        compiler_params=_params(("parallel", "parallel", "arbitrary")),
+        compiler_params=_params(("parallel", "parallel", "arbitrary"),
+                                vmem_limit=PTRAIN_VMEM_LIMIT),
         interpret=interpret,
-    )(qm, km, vm, do, lse, delta)
+    )(qm, km, vm, do, lse_t, delta)
 
     qs_spec = pl.BlockSpec((1, bq, c), lambda i, ki, qi: (i, qi, 0), memory_space=pltpu.VMEM)
     kvs_spec = pl.BlockSpec((1, bk, c), lambda i, ki, qi: (i, ki, 0), memory_space=pltpu.VMEM)
-    hls_spec = pl.BlockSpec((1, nh, bq), lambda i, ki, qi: (i, 0, qi), memory_space=pltpu.VMEM)
+    hls_spec = pl.BlockSpec((1, bq, nh), lambda i, ki, qi: (i, qi, 0), memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel_ptrain, ends=ends, lq=l, lk=l,
                           nh=nh, d=d),
@@ -904,9 +937,10 @@ def _ptrain_bwd(qm, km, vm, out, lse, do, nh, ends, bq, bk, interpret):
                    jax.ShapeDtypeStruct((b, l, c), vm.dtype)],
         scratch_shapes=[pltpu.VMEM((nh // 2 * bk, 2 * d), F32),
                         pltpu.VMEM((nh // 2 * bk, 2 * d), F32)],
-        compiler_params=_params(("parallel", "parallel", "arbitrary")),
+        compiler_params=_params(("parallel", "parallel", "arbitrary"),
+                                vmem_limit=PTRAIN_VMEM_LIMIT),
         interpret=interpret,
-    )(qm, km, vm, do, lse, delta)
+    )(qm, km, vm, do, lse_t, delta)
     return dq, dk, dv
 
 
