@@ -106,8 +106,14 @@ def bench_train(batch: int, iters: int, smoke: bool = False):
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     vae_params = vae_mod.init_vae_params(k1, vae_cfg)
     var_params = var_mod.stack_block_params(var_mod.init_var_params(k2, var_cfg))
+    # same auto rule as train.py: the paired merged-lane kernel (L-exact K
+    # blocks) measures 68.0 img/s vs 55.3 xla at d16 bs32 256px on v5e
+    attn_impl = "xla" if (smoke or jax.devices()[0].platform == "cpu") else "paired"
+    if "--attn" in sys.argv:
+        attn_impl = sys.argv[sys.argv.index("--attn") + 1]
     init_state, step = tr.make_train_step(var_cfg, vae_cfg, args, iters_per_ep=1000,
-                                          dtype=jnp.float32 if smoke else jnp.bfloat16)
+                                          dtype=jnp.float32 if smoke else jnp.bfloat16,
+                                          attn_impl=attn_impl)
     state = init_state(var_params)
     reso = var_cfg.patch_nums[-1] * vae_cfg.downsample
     imgs = jax.random.uniform(jax.random.PRNGKey(1), (1, batch, reso, reso, 3),

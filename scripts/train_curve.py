@@ -45,8 +45,10 @@ def main():
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     vae_params = vae_mod.init_vae_params(k1, vae_cfg)
     var_params = var_mod.stack_block_params(var_mod.init_var_params(k2, var_cfg))
+    attn = "xla" if jax.devices()[0].platform == "cpu" else "paired"
     init_state, step = tr.make_train_step(var_cfg, vae_cfg, args,
-                                          iters_per_ep=100000, dtype=jnp.bfloat16)
+                                          iters_per_ep=100000, dtype=jnp.bfloat16,
+                                          attn_impl=attn)
     state = init_state(var_params)
     reso = var_cfg.patch_nums[-1] * vae_cfg.downsample
     imgs = jax.random.uniform(jax.random.PRNGKey(1), (1, batch, reso, reso, 3),
@@ -63,9 +65,14 @@ def main():
             accs.append(round(float(m.accm), 2))
             print(f"step {it}: CE {ces[-1]:.4f}  acc {accs[-1]:.2f}%", flush=True)
     dt = time.perf_counter() - t0
+    # learned: CE >= 2 nats below the ln(V)=8.32 uniform start (e^2 ~ 7.4x
+    # likelihood) AND greedy accuracy >= 100x chance (1/4096). A sign error
+    # in the loss/grad fails both; the fixed batch is uniform noise, the
+    # hardest memorization target, so absolute-CE thresholds are meaningless.
     print(json.dumps({"ce": ces, "acc": accs, "steps": steps, "batch": batch,
                       "wall_s": round(dt, 1),
-                      "learned": ces[-1] < 0.5 * ces[0]}))
+                      "learned": (ces[-1] < ces[0] - 2.0
+                                  and accs[-1] > 100 * 100.0 / 4096)}))
 
 
 if __name__ == "__main__":
