@@ -41,7 +41,12 @@ def main():
     args.vae_bf16 = arg("--vae_bf16", 0)
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     vae_params = vae_mod.init_vae_params(k1, vae_cfg)
-    var_params = var_mod.stack_block_params(var_mod.init_var_params(k2, var_cfg))
+    var_params = var_mod.init_var_params(k2, var_cfg)
+    if arg("--unroll", 0) == 0:
+        # stacked blocks -> lax.scan over depth (the train.py default);
+        # --unroll 1 keeps blocks as a list (unrolled layer loop, O(depth)
+        # compile) to measure the scan stacks' dynamic-update-slice cost
+        var_params = var_mod.stack_block_params(var_params)
 
     init_state, step = tr.make_train_step(var_cfg, vae_cfg, args, iters_per_ep=1000,
                                           dtype=jnp.bfloat16, attn_impl=attn)

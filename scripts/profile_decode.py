@@ -99,8 +99,11 @@ def main():
 
         args = TrainArgs(depth=16, bs=batch, ac=1, ep=200, fp16=1).finalize(world_size=1)
         args.remat = arg("--remat", 2)
+        attn = (sys.argv[sys.argv.index("--attn") + 1] if "--attn" in sys.argv
+                else "paired")
         init_state, step = tr.make_train_step(var_cfg, vae_cfg, args,
-                                              iters_per_ep=1000, dtype=jnp.bfloat16)
+                                              iters_per_ep=1000, dtype=jnp.bfloat16,
+                                              attn_impl=attn)
         state = init_state(var_params)
         reso = var_cfg.patch_nums[-1] * vae_cfg.downsample
         imgs = jax.random.uniform(jax.random.PRNGKey(1), (1, batch, reso, reso, 3),

@@ -220,3 +220,35 @@ def test_paired_train_bf16_matches_xla():
         np.testing.assert_allclose(np.asarray(b, np.float32),
                                    np.asarray(a, np.float32),
                                    rtol=0.1, atol=0.15)
+
+
+def test_paired_train_segmented_matches_monolithic():
+    """The mask-structure decomposition (per-scale unmasked prefix calls,
+    ``segment=True``) is value- and gradient-identical to the single masked
+    L x L kernel it replaces, at a pyramid whose tail scales exceed
+    block_q so every branch (shared masked head + per-scale tail) fires."""
+    from var_tpu.ops.pallas.flash_attention import flash_attention_paired_train
+
+    ends = (1, 5, 14, 30, 55, 91, 155)
+    B, L, H = 2, 155, 4
+    C = 64 * H
+    r = jax.random.split(jax.random.PRNGKey(11), 4)
+    qm = jax.random.normal(r[0], (B, L, C), jnp.float32)
+    km = jax.random.normal(r[1], (B, L, C), jnp.float32)
+    vm = jax.random.normal(r[2], (B, L, C), jnp.float32)
+    do = jax.random.normal(r[3], (B, L, C), jnp.float32)
+
+    def run(seg):
+        def f(q, k, v):
+            out = flash_attention_paired_train(q, k, v, H, 0.125, ends,
+                                               block_q=32, block_k=64,
+                                               segment=seg)
+            return jnp.sum(out * do)
+        return jax.value_and_grad(f, argnums=(0, 1, 2))(qm, km, vm)
+
+    lm, gm = run(False)
+    ls, gs = run(True)
+    assert abs(float(lm - ls)) < 1e-3
+    for a, b in zip(gm, gs):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)

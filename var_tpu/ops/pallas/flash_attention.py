@@ -883,11 +883,12 @@ def _bwd_dkv_kernel_ptrain(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _ptrain_fwd(qm, km, vm, nh, ends, bq, bk, interpret):
-    b, l, c = qm.shape
+    b, lq, c = qm.shape
+    lk = km.shape[1]
     d = c // nh
-    grid = (b, pl.cdiv(l, bq), pl.cdiv(l, bk))
+    grid = (b, pl.cdiv(lq, bq), pl.cdiv(lk, bk))
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel_ptrain, ends=ends, lq=l, lk=l,
+        functools.partial(_fwd_kernel_ptrain, ends=ends, lq=lq, lk=lk,
                           nh=nh, d=d),
         grid=grid,
         in_specs=[
@@ -900,8 +901,8 @@ def _ptrain_fwd(qm, km, vm, nh, ends, bq, bk, interpret):
             pl.BlockSpec((1, nh, bq), lambda i, qi, ki: (i, 0, qi), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, l, c), qm.dtype),
-            jax.ShapeDtypeStruct((b, nh, l), F32),
+            jax.ShapeDtypeStruct((b, lq, c), qm.dtype),
+            jax.ShapeDtypeStruct((b, nh, lq), F32),
         ],
         scratch_shapes=[
             pltpu.VMEM((nh // 2 * 2 * bq, LANES), F32),  # m
@@ -916,7 +917,8 @@ def _ptrain_fwd(qm, km, vm, nh, ends, bq, bk, interpret):
 
 
 def _ptrain_bwd(qm, km, vm, out, lse, do, nh, ends, bq, bk, interpret):
-    b, l, c = qm.shape
+    b, lq, c = qm.shape
+    lk = km.shape[1]
     d = c // nh
     # per-(row, head) delta = sum_d do*o within the head's lanes: one
     # block-diagonal ones matmul on merged lanes, then H to the sublane dim
@@ -934,12 +936,12 @@ def _ptrain_bwd(qm, km, vm, out, lse, do, nh, ends, bq, bk, interpret):
     kv_spec = pl.BlockSpec((1, bk, c), lambda i, qi, ki: (i, ki, 0), memory_space=pltpu.VMEM)
     hl_spec = pl.BlockSpec((1, bq, nh), lambda i, qi, ki: (i, qi, 0), memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel_ptrain, ends=ends, lq=l, lk=l,
+        functools.partial(_bwd_dq_kernel_ptrain, ends=ends, lq=lq, lk=lk,
                           nh=nh, d=d),
-        grid=(b, pl.cdiv(l, bq), pl.cdiv(l, bk)),
+        grid=(b, pl.cdiv(lq, bq), pl.cdiv(lk, bk)),
         in_specs=[q_spec, kv_spec, kv_spec, q_spec, hl_spec, hl_spec],
         out_specs=q_spec,
-        out_shape=jax.ShapeDtypeStruct((b, l, c), qm.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, lq, c), qm.dtype),
         scratch_shapes=[pltpu.VMEM((nh // 2 * 2 * bq, 2 * d), F32)],
         compiler_params=_params(("parallel", "parallel", "arbitrary"),
                                 vmem_limit=PTRAIN_VMEM_LIMIT),
@@ -950,13 +952,13 @@ def _ptrain_bwd(qm, km, vm, out, lse, do, nh, ends, bq, bk, interpret):
     kvs_spec = pl.BlockSpec((1, bk, c), lambda i, ki, qi: (i, ki, 0), memory_space=pltpu.VMEM)
     hls_spec = pl.BlockSpec((1, bq, nh), lambda i, ki, qi: (i, qi, 0), memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel_ptrain, ends=ends, lq=l, lk=l,
+        functools.partial(_bwd_dkv_kernel_ptrain, ends=ends, lq=lq, lk=lk,
                           nh=nh, d=d),
-        grid=(b, pl.cdiv(l, bk), pl.cdiv(l, bq)),
+        grid=(b, pl.cdiv(lk, bk), pl.cdiv(lq, bq)),
         in_specs=[qs_spec, kvs_spec, kvs_spec, qs_spec, hls_spec, hls_spec],
         out_specs=[kvs_spec, kvs_spec],
-        out_shape=[jax.ShapeDtypeStruct((b, l, c), km.dtype),
-                   jax.ShapeDtypeStruct((b, l, c), vm.dtype)],
+        out_shape=[jax.ShapeDtypeStruct((b, lk, c), km.dtype),
+                   jax.ShapeDtypeStruct((b, lk, c), vm.dtype)],
         scratch_shapes=[pltpu.VMEM((nh // 2 * bk, 2 * d), F32),
                         pltpu.VMEM((nh // 2 * bk, 2 * d), F32)],
         compiler_params=_params(("parallel", "parallel", "arbitrary"),
@@ -995,20 +997,57 @@ def flash_attention_paired_train(
     block_q: int = 256,
     block_k: int = 512,
     interpret: Optional[bool] = None,
+    segment: bool = True,
 ) -> jax.Array:
     """Teacher-forced attention over MERGED (B, L, C) tensors with the
     block-causal scale mask, differentiable (custom VJP, flash-style
     O(B L C) residuals: q/k/v/out/lse — no (B, H, L, L) tensor in either
     pass). See the section comment above for why this beats the BLHD path
-    on TPU. ``scale`` is folded into q up front; residuals stay merged."""
-    b, l, c = q_m.shape
+    on TPU. ``scale`` is folded into q up front; residuals stay merged.
+
+    With ``scale_ends`` and ``segment=True`` the call is decomposed by the
+    mask's structure instead of evaluating it: block-causal over scales
+    means queries of scale s attend exactly the key prefix [0, ends[s])
+    with NO masking (key-level <= query-level holds for the whole prefix).
+    The small leading scales (ends <= block_q) share one masked call; every
+    remaining scale gets its own unmasked call over its prefix. Useful
+    score fraction at the 256px pyramid is sum(n_s * ends[s]) / L^2 = 62%,
+    so the single masked L x L pass wastes ~40% of its dot/exp work on
+    columns the mask kills; the segmented form skips both their compute
+    AND their K/V fetches. Autodiff composes the per-segment custom VJPs
+    (dk/dv prefix contributions pad-and-add)."""
+    b, lq, c = q_m.shape
+    lk = k_m.shape[1]
     d = c // num_heads
     assert num_heads % 2 == 0 and 2 * d == 128, "paired kernel wants D=64 pairs"
-    assert k_m.shape == q_m.shape == v_m.shape, "training path: Lq == Lk"
+    assert k_m.shape[0] == b and k_m.shape[2] == c and v_m.shape == k_m.shape, \
+        "k/v must be merged (B, Lk, C) with Lk >= Lq"
     ends = tuple(int(e) for e in scale_ends) if scale_ends is not None else None
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
-    bq = _pick_block(l, block_q)
-    bk = _pick_block_k(l, block_k)
     qs = (q_m.astype(F32) * scale).astype(q_m.dtype)
+
+    if ends is not None and segment and lq == lk and ends[-1] == lq:
+        p = 0
+        while p < len(ends) and ends[p] <= block_q:
+            p += 1
+        if p < len(ends):  # at least one tail scale worth splitting off
+            outs = []
+            cut = ends[p - 1] if p > 0 else 0
+            if cut:
+                outs.append(_ptrain(qs[:, :cut], k_m[:, :cut], v_m[:, :cut],
+                                    num_heads, ends[:p],
+                                    _pick_block(cut, block_q),
+                                    _pick_block_k(cut, block_k), interpret))
+            lo = cut
+            for e in ends[p:]:
+                outs.append(_ptrain(qs[:, lo:e], k_m[:, :e], v_m[:, :e],
+                                    num_heads, None,
+                                    _pick_block(e - lo, block_q),
+                                    _pick_block_k(e, block_k), interpret))
+                lo = e
+            return jnp.concatenate(outs, axis=1)
+
+    bq = _pick_block(lq, block_q)
+    bk = _pick_block_k(lk, block_k)
     return _ptrain(qs, k_m, v_m, num_heads, ends, bq, bk, interpret)
