@@ -39,6 +39,7 @@ def main():
     args = TrainArgs(depth=depth, bs=batch, ac=1, ep=200, fp16=1, pn=pn).finalize(world_size=1)
     args.remat = arg("--remat", 2)
     args.vae_bf16 = arg("--vae_bf16", 0)
+    args.tokenize_chunk = arg("--tokenize_chunk", 0)
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     vae_params = vae_mod.init_vae_params(k1, vae_cfg)
     var_params = var_mod.init_var_params(k2, var_cfg)

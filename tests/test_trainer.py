@@ -327,3 +327,30 @@ def test_quantizer_eini():
     p_u = q.eini(params, jax.random.PRNGKey(1), -2.0, cfg)
     assert float(jnp.abs(p_u["embedding"]).max()) <= 2.0 / 16
     assert q.eini(params, jax.random.PRNGKey(1), 0.0, cfg) is params
+
+
+def test_tokenize_chunk_is_bit_identical():
+    """tokenize_chunk (lax.map over batch chunks of the frozen-VAE encode)
+    produces the same loss/metrics and the same updated params as the
+    whole-batch tokenize — it only bounds the encoder's temp memory."""
+    vae_cfg, var_cfg, vae_params, var_params = tiny_setup()
+
+    def run(tc):
+        args = TrainArgs(depth=2, bs=4, ac=1, ep=2, tblr=1e-3, tclip=2.0,
+                         ls=0.1, pn="1_2_3")
+        args.finalize(world_size=1)
+        args.tokenize_chunk = tc
+        init_state, step = tr.make_train_step(
+            var_cfg, vae_cfg, args, iters_per_ep=4, dtype=jnp.float32)
+        state = init_state(jax.tree.map(lambda x: x.copy(), var_params))
+        imgs = jax.random.uniform(jax.random.PRNGKey(3), (1, 4, 6, 6, 3)) * 2 - 1
+        labels = jnp.array([[0, 1, 2, 3]])
+        state, m = step(state, vae_params, imgs, labels,
+                        jax.random.PRNGKey(5), jnp.int32(0), jnp.float32(1.0))
+        return state, m
+
+    s0, m0 = run(0)
+    s2, m2 = run(2)
+    assert float(m0.loss) == float(m2.loss)
+    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

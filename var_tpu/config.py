@@ -165,11 +165,16 @@ class TrainArgs:
     #                 2 attention-core only (d16-class memory/FLOP sweet spot)
     vae_bf16: int = 0  # tokenize in bf16 (quantizer stats stay fp32); may
     #                    flip rare argmin token choices vs the fp32 default
+    tokenize_chunk: int = 0  # >0: lax.map the frozen-VAE tokenize over
+    #   batch chunks of this size. Bit-identical tokens; bounds the encoder's
+    #   fp32 conv temps (4 x 3G live at bs48 fullres) so larger device
+    #   batches fit. 0 = whole-batch tokenize
     attn: str = "auto"  # training attention impl: auto | xla | pallas |
-    #                     hybrid | paired. auto = xla at the 256px preset
-    #                     (measured fastest), streaming pallas beyond it
-    #                     (the factored in-kernel mask is what makes the
-    #                     512px/1024px presets fit)
+    #                     hybrid | paired. auto = the paired merged-lane
+    #                     kernel at the 256px preset (measured fastest),
+    #                     streaming pallas beyond it (the factored in-kernel
+    #                     mask is what makes the 512px/1024px presets fit),
+    #                     xla on CPU
     dbg_nan: bool = False  # enable jax debug_nans/debug_infs (arg_util.py:137)
     allow_random_vae: bool = False  # train without a tokenizer checkpoint
     #   (random VAE weights make the targets meaningless; the reference

@@ -209,7 +209,18 @@ def make_train_step(
             # stats stay fp32-forced (quantizer.py); rare near-tie token
             # flips vs the fp32 encoder are acceptable for training targets
             img = img.astype(jnp.bfloat16)
-        idx_bl = vae_mod.img_to_idxBl(vae_params, vae_cfg, img)
+        tc = int(getattr(args, "tokenize_chunk", 0) or 0)
+        if 0 < tc < img.shape[0] and img.shape[0] % tc == 0:
+            # frozen tokenize in batch chunks: bit-identical ids, but the
+            # encoder's fullres fp32 conv temps (3G each at bs48) only ever
+            # exist at chunk width — the step's real memory peak is the
+            # transformer backward, so chunking here buys device batch
+            imgc = img.reshape(img.shape[0] // tc, tc, *img.shape[1:])
+            idx_bl = jax.lax.map(
+                lambda im: vae_mod.img_to_idxBl(vae_params, vae_cfg, im), imgc)
+            idx_bl = [x.reshape(img.shape[0], x.shape[-1]) for x in idx_bl]
+        else:
+            idx_bl = vae_mod.img_to_idxBl(vae_params, vae_cfg, img)
         gt_bl = jnp.concatenate(idx_bl, axis=1)[:, :ed]
         x_in = q.idxBl_to_var_input(vae_params["quantize"], vae_cfg, idx_bl)
         logits = var_mod.var_forward(

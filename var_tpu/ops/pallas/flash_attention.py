@@ -26,6 +26,7 @@ with ``preferred_element_type=float32``.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -1027,7 +1028,16 @@ def flash_attention_paired_train(
         interpret = jax.devices()[0].platform == "cpu"
     qs = (q_m.astype(F32) * scale).astype(q_m.dtype)
 
+    segment = segment and os.environ.get("VAR_TPU_PTRAIN_SEGMENT", "1") != "0"
     if ends is not None and segment and lq == lk and ends[-1] == lq:
+        # Mosaic constrains the lse output block's trailing dim (= bq) to a
+        # multiple of 128 (or the full array dim), so segment q blocks round
+        # to 128 on hardware; interpret mode keeps the tests' tiny blocks.
+        g = 8 if interpret else 128
+
+        def _bq(n):
+            return block_q if n > block_q else max(g, -(-n // g) * g)
+
         p = 0
         while p < len(ends) and ends[p] <= block_q:
             p += 1
@@ -1036,14 +1046,12 @@ def flash_attention_paired_train(
             cut = ends[p - 1] if p > 0 else 0
             if cut:
                 outs.append(_ptrain(qs[:, :cut], k_m[:, :cut], v_m[:, :cut],
-                                    num_heads, ends[:p],
-                                    _pick_block(cut, block_q),
+                                    num_heads, ends[:p], _bq(cut),
                                     _pick_block_k(cut, block_k), interpret))
             lo = cut
             for e in ends[p:]:
                 outs.append(_ptrain(qs[:, lo:e], k_m[:, :e], v_m[:, :e],
-                                    num_heads, None,
-                                    _pick_block(e - lo, block_q),
+                                    num_heads, None, _bq(e - lo),
                                     _pick_block_k(e, block_k), interpret))
                 lo = e
             return jnp.concatenate(outs, axis=1)
