@@ -188,17 +188,14 @@ def main():
     assert attn_impl in ("auto", "xla", "pallas", "hybrid", "paired"), \
         f"--attn={attn_impl!r}: want auto|xla|pallas|hybrid|paired"
     if attn_impl == "auto":
-        # Measured on v5e (scripts/bench_train.py, d16 bs32 256px): the paired
-        # merged-lane train kernel with L-exact K blocks does 68.0 img/s vs
-        # 55.3 for plain XLA attention; it self-degrades to xla when head_dim
-        # pairs don't fit (models/var.py:261). Long presets (512/1024px) use
-        # the streaming pallas kernel so the L x L score block never
-        # materializes; CPU keeps xla (pallas interpret mode is test-only).
+        # Measured on v5e (scripts/bench_train.py, d16): the paired
+        # merged-lane train kernel, segmented by the block-causal mask's
+        # structure, wins at every preset — 256px 69.7 vs 55.3 img/s plain
+        # XLA; 512px 14.3 vs 10.2 streaming pallas; 1024px 1.44 vs 0.85.
+        # It self-degrades to xla when head_dim pairs don't fit
+        # (models/var.py:261); CPU keeps xla (interpret mode is test-only).
         on_tpu = jax.devices()[0].platform != "cpu"
-        if not on_tpu:
-            attn_impl = "xla"
-        else:
-            attn_impl = "paired" if var_cfg.seq_len <= 680 else "pallas"
+        attn_impl = "paired" if on_tpu else "xla"
     init_state, _ = tr.make_train_step(var_cfg, vae_cfg, args, iters_train,
                                        dtype=dtype, attn_impl=attn_impl)
     steps = {}

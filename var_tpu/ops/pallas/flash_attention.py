@@ -73,7 +73,8 @@ def _pick_block_k(l: int, target: int) -> int:
 # double buffering + fp32 scratch) sits ~2% over Mosaic's default 16M scoped-
 # vmem cap (measured: 16.31M at d16 bs32 256px). v5e has 128M physical VMEM;
 # raise the cap rather than shrink the measured-optimal blocks.
-PTRAIN_VMEM_LIMIT = 32 * 1024 * 1024
+PTRAIN_VMEM_LIMIT = 96 * 1024 * 1024  # 1024px segment prefixes pick bk=1024
+#   blocks whose dkv-bwd stack needs ~52M; v5e has 128M physical VMEM
 
 
 def _params(dim_sems, vmem_limit: int = 0):
