@@ -252,3 +252,37 @@ def test_paired_train_segmented_matches_monolithic():
     for a, b in zip(gm, gs):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_paired_train_fused_bwd_matches_split():
+    """The one-pass fused backward (dq/dk/dv from a single s/p/ds build)
+    equals the split dq + dkv kernels on every gradient, across segment
+    shapes (Lq != Lk) and the masked head call."""
+    import os
+    from var_tpu.ops.pallas import flash_attention as fa
+
+    ends = (1, 5, 14, 30, 55, 91)
+    B, L, H = 2, 91, 4
+    C = 64 * H
+    r = jax.random.split(jax.random.PRNGKey(21), 4)
+    qm = jax.random.normal(r[0], (B, L, C), jnp.float32)
+    km = jax.random.normal(r[1], (B, L, C), jnp.float32)
+    vm = jax.random.normal(r[2], (B, L, C), jnp.float32)
+    do = jax.random.normal(r[3], (B, L, C), jnp.float32)
+
+    def grads():
+        def f(q, k, v):
+            out = fa.flash_attention_paired_train(q, k, v, H, 0.125, ends,
+                                                  block_q=32, block_k=48)
+            return jnp.sum(out * do)
+        return jax.grad(f, argnums=(0, 1, 2))(qm, km, vm)
+
+    os.environ["VAR_TPU_PTRAIN_FUSED_BWD"] = "0"
+    try:
+        g_split = grads()
+    finally:
+        os.environ.pop("VAR_TPU_PTRAIN_FUSED_BWD", None)
+    g_fused = grads()
+    for a, b in zip(g_split, g_fused):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)

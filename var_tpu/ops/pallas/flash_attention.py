@@ -918,6 +918,108 @@ def _ptrain_fwd(qm, km, vm, nh, ends, bq, bk, interpret):
     return out, lse
 
 
+def _bwd_fused_kernel_ptrain(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                             dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr,
+                             *, ends, lq: int, lk: int, nh: int, d: int):
+    """One-pass backward: s/p/ds are computed ONCE per (q, k) tile and feed
+    dq, dk AND dv — the split dq/dkv kernels each rebuilt them (7 MXU dots
+    and 2 exp sweeps per tile vs 5 and 1 here), and streamed q/k/v/do from
+    HBM twice. dq accumulates in a per-q-block scratch (flushed when the k
+    sweep ends); dk/dv accumulate in a FULL-LENGTH paired scratch
+    (nh/2 * Lk_pad, 128) that lives in VMEM for the whole grid and is
+    flushed by the last program — which is what caps this kernel at
+    moderate Lk (see _ptrain_bwd's dispatch)."""
+    qi = pl.program_id(1)
+    j = pl.program_id(2)  # k-block index (inner sweep)
+    nq = pl.num_programs(1)
+    nk = pl.num_programs(2)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    bq = q.shape[0]
+    bk = k.shape[0]
+    lk_pad = nk * bk
+    fast = q.dtype == jnp.bfloat16
+
+    @pl.when(j == 0)
+    def _init_dq():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    @pl.when((qi == 0) & (j == 0))
+    def _init_dkv():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * d), 1)
+    m_even = (lane < d).astype(F32)
+    m_odd = 1.0 - m_even
+    valid = _mask2(qi, j, bq, bk, lq, lk, ends)
+    krow_ok = jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0) + j * bk < lk
+    qrow_ok = jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0) + qi * bq < lq
+    qrow_ok2 = jnp.concatenate([jnp.broadcast_to(qrow_ok, (bq, LANES)),
+                                jnp.broadcast_to(qrow_ok, (bq, LANES))],
+                               axis=0)[:, :1]
+    lse_t = lse_ref[0]    # (Bq, H) f32, seq-major (see _ptrain_bwd)
+    dlt_t = delta_ref[0]  # (Bq, H) f32
+    hlane = jax.lax.broadcasted_iota(jnp.int32, (1, lse_t.shape[1]), 1)
+    for hp in range(nh // 2):
+        sl = slice(hp * 2 * d, (hp + 1) * 2 * d)
+        qt = jnp.where(qrow_ok, q[:, sl], 0).astype(q.dtype if fast else F32)
+        kt = jnp.where(krow_ok, k[:, sl], 0).astype(qt.dtype)
+        vt = jnp.where(krow_ok, v[:, sl], 0).astype(qt.dtype)
+        dot = jnp.where(qrow_ok, do[:, sl], 0).astype(qt.dtype)
+        me = m_even.astype(qt.dtype)
+        mo = m_odd.astype(qt.dtype)
+        qe = jnp.concatenate([qt * me, qt * mo], axis=0)      # (2Bq, 128)
+        doe = jnp.concatenate([dot * me, dot * mo], axis=0)   # (2Bq, 128)
+        lse2 = _paired_col(lse_t, hlane, hp, bq)              # (2Bq, 1)
+        dlt2 = _paired_col(dlt_t, hlane, hp, bq)
+        s = jax.lax.dot_general(qe, kt, (((1,), (1,)), ((), ())),
+                                preferred_element_type=F32)   # (2Bq, Bk)
+        s = jnp.where(valid, s, NEG_INF)
+        p = jnp.where(qrow_ok2, jnp.exp(s - lse2), 0.0)
+        dp = jax.lax.dot_general(doe, vt, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=F32)
+        ds = jnp.where(qrow_ok2, p * (dp - dlt2), 0.0)
+        qrows = slice(hp * 2 * bq, (hp + 1) * 2 * bq)
+        dq_scr[qrows] += jax.lax.dot_general(ds.astype(qt.dtype), kt,
+                                             (((1,), (0,)), ((), ())),
+                                             preferred_element_type=F32)
+        krows = pl.ds(hp * lk_pad + j * bk, bk)  # j is traced: dynamic slice
+        # p/ds rows hold both heads lane-masked, so one transposed dot
+        # yields the MERGED (Bk, 128) dv/dk tile (even cols + odd cols)
+        dv_scr[krows] += jax.lax.dot_general(
+            p.astype(qt.dtype), doe, (((0,), (0,)), ((), ())),
+            preferred_element_type=F32)
+        dk_scr[krows] += jax.lax.dot_general(
+            ds.astype(qt.dtype), qe, (((0,), (0,)), ((), ())),
+            preferred_element_type=F32)
+
+    @pl.when(j == nk - 1)
+    def _flush_dq():
+        for hp in range(nh // 2):
+            sl = slice(hp * 2 * d, (hp + 1) * 2 * d)
+            rows = slice(hp * 2 * bq, (hp + 1) * 2 * bq)
+            g2 = dq_scr[rows]
+            dq_ref[0, :, sl] = (g2[:bq] * m_even + g2[bq:] * m_odd).astype(dq_ref.dtype)
+
+    @pl.when((qi == nq - 1) & (j == nk - 1))
+    def _flush_dkv():
+        for hp in range(nh // 2):
+            sl = slice(hp * 2 * d, (hp + 1) * 2 * d)
+            rows = slice(hp * lk_pad, (hp + 1) * lk_pad)
+            dk_ref[0, :, sl] = dk_scr[rows].astype(dk_ref.dtype)
+            dv_ref[0, :, sl] = dv_scr[rows].astype(dv_ref.dtype)
+
+
+# full-length paired dk/dv scratch budget for the fused backward: two
+# (nh/2 * Lk_pad, 128) f32 buffers. 680 (256px) and every 512px segment
+# prefix fit comfortably; the 1024px tail (Lk=9451) would want ~77M, so it
+# falls back to the split kernels.
+FUSED_BWD_SCRATCH_BYTES = 40 * 1024 * 1024
+
+
 def _ptrain_bwd(qm, km, vm, out, lse, do, nh, ends, bq, bk, interpret):
     b, lq, c = qm.shape
     lk = km.shape[1]
@@ -933,6 +1035,37 @@ def _ptrain_bwd(qm, km, vm, out, lse, do, nh, ends, bq, bk, interpret):
     # dim slice cleanly into (Bq, H) blocks with no in-kernel relayout (the
     # (B, H, L) head-major layout forced 1-D row concats Mosaic can't lower)
     lse_t = lse.transpose(0, 2, 1)  # (B, L, H) — tiny
+
+    lk_pad = pl.cdiv(lk, bk) * bk
+    scratch_bytes = 2 * (nh // 2) * lk_pad * 2 * d * 4
+    fused = (scratch_bytes <= FUSED_BWD_SCRATCH_BYTES
+             and os.environ.get("VAR_TPU_PTRAIN_FUSED_BWD", "1") != "0")
+    if fused:
+        qf_spec = pl.BlockSpec((1, bq, c), lambda i, qi, ki: (i, qi, 0),
+                               memory_space=pltpu.VMEM)
+        kvf_spec = pl.BlockSpec((1, bk, c), lambda i, qi, ki: (i, ki, 0),
+                                memory_space=pltpu.VMEM)
+        hlf_spec = pl.BlockSpec((1, bq, nh), lambda i, qi, ki: (i, qi, 0),
+                                memory_space=pltpu.VMEM)
+        full_spec = pl.BlockSpec((1, lk_pad, c), lambda i, qi, ki: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel_ptrain, ends=ends, lq=lq,
+                              lk=lk, nh=nh, d=d),
+            grid=(b, pl.cdiv(lq, bq), pl.cdiv(lk, bk)),
+            in_specs=[qf_spec, kvf_spec, kvf_spec, qf_spec, hlf_spec, hlf_spec],
+            out_specs=[qf_spec, full_spec, full_spec],
+            out_shape=[jax.ShapeDtypeStruct((b, lq, c), qm.dtype),
+                       jax.ShapeDtypeStruct((b, lk, c), km.dtype),
+                       jax.ShapeDtypeStruct((b, lk, c), vm.dtype)],
+            scratch_shapes=[pltpu.VMEM((nh // 2 * 2 * bq, 2 * d), F32),
+                            pltpu.VMEM((nh // 2 * lk_pad, 2 * d), F32),
+                            pltpu.VMEM((nh // 2 * lk_pad, 2 * d), F32)],
+            compiler_params=_params(("parallel", "arbitrary", "arbitrary"),
+                                    vmem_limit=PTRAIN_VMEM_LIMIT),
+            interpret=interpret,
+        )(qm, km, vm, do, lse_t, delta)
+        return dq, dk, dv
 
     q_spec = pl.BlockSpec((1, bq, c), lambda i, qi, ki: (i, qi, 0), memory_space=pltpu.VMEM)
     kv_spec = pl.BlockSpec((1, bk, c), lambda i, qi, ki: (i, ki, 0), memory_space=pltpu.VMEM)
