@@ -233,7 +233,11 @@ def make_train_step(
         if prog_si >= 0:
             lw = lw.at[bg:ed].mul(jnp.clip(prog_wp, 0.0, 1.0))
         loss = (ce * lw[None]).sum(axis=-1).mean()
-        return loss, (logits, gt_bl)
+        # metrics INSIDE the grad region (has_aux): the (B, L, V) logits
+        # never leave the fused head+CE computation — returning them as aux
+        # forced a ~178M HBM materialization (and an (ac, ...) stack under
+        # accumulation) just to re-read them for argmax/acc outside
+        return loss, _metrics_from_logits(logits, gt_bl, var_cfg, prog_si)
 
     def step(state: TrainState, vae_params, imgs, labels, rng, g_it, prog_wp):
         ac = imgs.shape[0]
@@ -256,9 +260,7 @@ def make_train_step(
             return loss_s / scale, aux, grads_s
 
         if ac == 1:  # no accumulation: skip the scan (avoids nested scans)
-            loss, (logits_m, gt_m), grads = grad_fn(
-                state.params, imgs[0], labels[0], rng)
-            logits, gt_bl = logits_m[None], gt_m[None]
+            loss, m, grads = grad_fn(state.params, imgs[0], labels[0], rng)
         else:
 
             def micro(carry, xs):
@@ -270,9 +272,12 @@ def make_train_step(
 
             zero = jax.tree.map(lambda p: jnp.zeros_like(p, F32), state.params)
             rngs = jax.random.split(rng, ac)
-            (grads, loss), (logits, gt_bl) = jax.lax.scan(
+            (grads, loss), m_st = jax.lax.scan(
                 micro, (zero, jnp.float32(0.0)), (imgs, labels, rngs)
             )
+            # metrics of the LAST micro-batch (reference logs the stepping
+            # micro-batch's logits, trainer.py:117-128)
+            m = jax.tree.map(lambda x: x[-1], m_st)
         if dynamic_scale:  # unscale accumulated grads (GradScaler.unscale_)
             grads = jax.tree.map(lambda g: g / scale, grads)
         lr = args.tlr * lr_factor(args.sche, g_it, wp_it, max_it, args.wp0, args.wpe)
@@ -287,7 +292,6 @@ def make_train_step(
         if dynamic_scale:
             # the scaler state is NOT skip-guarded: overflow must halve it
             new_opt = dict(new_opt, scaler=scaler_update(scaler_state, jnp.isfinite(gnorm)))
-        m = _metrics_from_logits(logits[-1], gt_bl[-1], var_cfg, prog_si)
         metrics = StepMetrics(loss=loss, grad_norm=gnorm, lr=lr, wd=wd, scale=scale, **m)
         return TrainState(new_params, new_opt, state.step + 1), metrics
 
