@@ -157,6 +157,38 @@ def test_greedy_decode_cfg_pallas_matches_xla():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("w", [1, 2, 4])
+def test_kv_window_keeps_chunked_cache(w):
+    """kv_window pruning on the CHUNKED cache (a compile-time tuple slice)
+    must be token-exact against the windowed grow-by-concat reference path —
+    the window no longer forfeits the fast layout (round-4 verdict item 8).
+    Greedy, fp32, head_dim-64 so the paired kernel actually serves it."""
+    from var_tpu.engine.sampler import decode_cfg
+    from var_tpu.models import vae as vae_mod
+
+    var_cfg = _stage_cfg(h=2)
+    vae_cfg = VAEConfig(vocab_size=32, z_channels=8, ch=32, ch_mult=(1, 1),
+                        v_patch_nums=PNS)
+    assert var_mod.window_chunks_viable(var_cfg, w, "pallas")
+    assert not var_mod.window_chunks_viable(var_cfg, w, "xla")
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    vae_params = vae_mod.init_vae_params(k1, vae_cfg)
+    var_params = var_mod.init_var_params(k2, var_cfg)
+    label = jnp.array([1, 4])
+    ref = decode_cfg(var_params, vae_params, var_cfg, vae_cfg,
+                     jax.random.PRNGKey(0), label, cfg_scale=1.5, top_k=1,
+                     top_p=0.0, dtype=F32, attn_impl="xla", kv_window=w,
+                     cache_impl="concat")
+    got = decode_cfg(var_params, vae_params, var_cfg, vae_cfg,
+                     jax.random.PRNGKey(0), label, cfg_scale=1.5, top_k=1,
+                     top_p=0.0, dtype=F32, attn_impl="pallas", kv_window=w,
+                     cache_impl="chunked")
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
+    np.testing.assert_allclose(np.asarray(got.image), np.asarray(ref.image),
+                               rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("h,lens,lcur,layer_depth", [
     (2, (1, 4, 9, 16), 25, (1, 3)),    # mid-pyramid, small heads
     (4, (1, 4, 9), 16, (0, 2)),        # >1 head-pair tile (lane slicing)

@@ -197,20 +197,21 @@ def main():
         on_tpu = jax.devices()[0].platform != "cpu"
         attn_impl = "paired" if on_tpu else "xla"
     init_state, _ = tr.make_train_step(var_cfg, vae_cfg, args, iters_train,
-                                       dtype=dtype, attn_impl=attn_impl)
+                                       dtype=dtype, attn_impl=attn_impl,
+                                       mesh=mesh)
     steps = {}
 
     def step_for(prog_si: int):
         if prog_si not in steps:
             steps[prog_si] = tr.make_train_step(
                 var_cfg, vae_cfg, args, iters_train, prog_si=prog_si,
-                dtype=dtype, attn_impl=attn_impl
+                dtype=dtype, attn_impl=attn_impl, mesh=mesh
             )[1]
         return steps[prog_si]
 
     eval_step = tr.make_eval_step(var_cfg, vae_cfg, dtype=dtype,
-                                  attn_impl=attn_impl if attn_impl != "paired"
-                                  else "xla")
+                                  attn_impl=tr.pick_eval_attn(attn_impl, var_cfg.seq_len),
+                                  mesh=mesh)
     state = init_state(var_params)
     if resume_path:
         state = ckpt.load_checkpoint(resume_path, state)

@@ -57,6 +57,7 @@ def decode_tokens_cfg(
     kv_window: Optional[int] = None,
     cache_impl: str = "chunked",
     approx_topk: bool = False,
+    mesh=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Transformer half of :func:`decode_cfg` -> (tokens (B, L), f_hat),
     for callers that want the token decode and the VQVAE render as separate
@@ -87,9 +88,18 @@ def decode_tokens_cfg(
     # "concat" remains for kv_window pruning; "prealloc" (in-place
     # dynamic_update_slice buffers) remains as the serving-style layout.
     attend = None
+    # kv_window pruning is scale-granular, so on the chunked layout it is a
+    # compile-time tuple slice — the window keeps the chunked cache (and its
+    # throughput) whenever the paired kernel can serve every pruned stage;
+    # the decision is made once up front (window_chunks_viable) because the
+    # windowed path never keeps the full history a mid-decode representation
+    # switch would need
+    windowed_chunks = (kv_window is not None and cache_impl == "chunked"
+                       and var_mod.window_chunks_viable(
+                           var_cfg, kv_window, attn_impl, mesh=mesh, batch=2 * b))
     if kv_window is None and cache_impl == "prealloc":
         attend = var_mod.init_prealloc_caches(var_cfg, 2 * b, dtype=dtype)
-    elif kv_window is None and cache_impl == "chunked":
+    elif (kv_window is None and cache_impl == "chunked") or windowed_chunks:
         # per-stage (depth, 2B, l_i, C) chunks exactly as the depth-scan
         # stacked them; the paired kernel reads them in place (scalar-
         # prefetched layer index), so the grow-by-concat cache copies and
@@ -101,15 +111,26 @@ def decode_tokens_cfg(
     for si, pn in enumerate(pns):
         ratio = si / var_cfg.num_stages_minus_1
         seg = pn * pn
-        if attend is not None and isinstance(attend[0], str):
+        if (attend is not None and isinstance(attend[0], str)
+                and not windowed_chunks):
             attend = var_mod.maybe_concat_chunks(attend, ntm.shape[1],
-                                                 var_cfg, attn_impl)
+                                                 var_cfg, attn_impl,
+                                                 mesh=mesh, batch=2 * b)
         x, grown = var_mod.transformer_stage(
-            var_params, var_cfg, ntm, ctx, attend, dtype=dtype, attn_impl=attn_impl
+            var_params, var_cfg, ntm, ctx, attend, dtype=dtype,
+            attn_impl=attn_impl, mesh=mesh
         )
         ntm_len = ntm.shape[1]
         if kv_window is None:
             caches = attend = grown
+        elif windowed_chunks:
+            # chunk 0 is exactly the first_l prefix the reference window
+            # always keeps (var.py:510-517); beyond it keep the kv_window-1
+            # most recent stage chunks + the stage just appended
+            _, ks, vs = grown
+            if len(ks) > kv_window:
+                ks, vs = (ks[0],) + ks[2:], (vs[0],) + vs[2:]
+            attend = ("chunks", ks, vs)
         else:
             knew = grown[0][:, :, -ntm_len:]
             vnew = grown[1][:, :, -ntm_len:]
@@ -191,6 +212,7 @@ def decode_cfg(
     kv_window: Optional[int] = None,
     cache_impl: str = "chunked",
     approx_topk: bool = False,
+    mesh=None,
 ) -> DecodeResult:
     """Class-conditional CFG decode; with ``gt_tokens``+``keep_mask`` it is
     token-mask inpainting (kept positions take ground-truth ids and steer all
@@ -216,7 +238,7 @@ def decode_cfg(
         cfg_scale=cfg_scale, top_k=top_k, top_p=top_p, more_smooth=more_smooth,
         dtype=dtype, attn_impl=attn_impl, gt_tokens=gt_tokens,
         keep_mask=keep_mask, edit_mask=edit_mask, kv_window=kv_window,
-        cache_impl=cache_impl, approx_topk=approx_topk,
+        cache_impl=cache_impl, approx_topk=approx_topk, mesh=mesh,
     )
     img = render_fhat(vae_params, vae_cfg, f_hat, dtype=dtype)
     return DecodeResult(img, tokens, f_hat)
@@ -235,6 +257,7 @@ def make_sampler(
     kv_window: Optional[int] = None,
     cache_impl: str = "chunked",
     approx_topk: bool = False,
+    mesh=None,
 ):
     """Compiled sampler: (var_params, vae_params, rng, label_b[, gt, mask])
     -> DecodeResult. Sampling hyper-parameters are compile-time constants
@@ -257,6 +280,7 @@ def make_sampler(
         kv_window=kv_window,
         cache_impl=cache_impl,
         approx_topk=approx_topk,
+        mesh=mesh,
     )
 
     if inpainting:
@@ -346,6 +370,7 @@ def smooth_sampling(
     neighbor_threshold: Optional[float] = None,
     dtype=jnp.bfloat16,
     attn_impl: str = "auto",
+    mesh=None,
 ) -> SmoothResult:
     """Regenerate an image constrained to codebook-space neighbors of the
     ground-truth tokens (reference ``VAR.smooth_sampling``).
@@ -379,9 +404,11 @@ def smooth_sampling(
         seg = pn * pn
         if isinstance(caches[0], str):
             caches = var_mod.maybe_concat_chunks(caches, ntm.shape[1],
-                                                 var_cfg, attn_impl)
+                                                 var_cfg, attn_impl,
+                                                 mesh=mesh, batch=2 * b)
         x, caches = var_mod.transformer_stage(
-            var_params, var_cfg, ntm, ctx, caches, dtype=dtype, attn_impl=attn_impl
+            var_params, var_cfg, ntm, ctx, caches, dtype=dtype,
+            attn_impl=attn_impl, mesh=mesh
         )
         lg = var_mod.get_logits_cfg(var_params, var_cfg, x, cond_bd, cfg_scale * ratio)
         log_probs = jax.nn.log_softmax(lg, axis=-1)  # (B, seg, V)

@@ -180,6 +180,7 @@ def make_train_step(
     prog_si: int = -1,
     dtype=jnp.bfloat16,
     attn_impl: str = "xla",
+    mesh=None,
 ):
     """Build (init_state, jitted step).
 
@@ -226,7 +227,7 @@ def make_train_step(
         logits = var_mod.var_forward(
             params, var_cfg, label, x_in, rng=rng, train=True,
             prog_si=prog_si, dtype=dtype, attn_impl=attn_impl,
-            remat=getattr(args, "remat", False),
+            remat=getattr(args, "remat", False), mesh=mesh,
         )
         ce = cross_entropy(logits, gt_bl, args.ls)  # (B, ed)
         lw = jnp.full((ed,), 1.0 / L, F32)
@@ -307,7 +308,20 @@ def make_train_step(
     return init_state, jax.jit(step, donate_argnums=(0,))
 
 
-def make_eval_step(var_cfg: VARConfig, vae_cfg: VAEConfig, dtype=jnp.bfloat16, attn_impl="xla"):
+def pick_eval_attn(train_attn: str, seq_len: int) -> str:
+    """Eval attention for a given train impl: the paired train kernel is a
+    custom-VJP training path, and the dense XLA fallback materializes
+    (B, H, L, L) fp32 scores (``ops/attention.py``) — ~23 GB at the 1024px
+    preset's L=9451 even at batch 2. Long presets therefore eval through the
+    STREAMING pallas forward (O(block) VMEM per program); 256px keeps the
+    dense path, which measures faster at L=680."""
+    if train_attn == "paired":
+        return "pallas" if seq_len > 1000 else "xla"
+    return train_attn
+
+
+def make_eval_step(var_cfg: VARConfig, vae_cfg: VAEConfig, dtype=jnp.bfloat16,
+                   attn_impl="xla", mesh=None):
     """Validation step (reference ``eval_ep``, trainer.py:54-84): returns
     summed [L_mean_units, L_tail_units, acc_mean_units, acc_tail_units, n]
     to be divided by the total count ``n``.
@@ -326,7 +340,7 @@ def make_eval_step(var_cfg: VARConfig, vae_cfg: VAEConfig, dtype=jnp.bfloat16, a
         gt = jnp.concatenate(idx_bl, axis=1)
         x_in = q.idxBl_to_var_input(vae_params["quantize"], vae_cfg, idx_bl)
         logits = var_mod.var_forward(var_params, var_cfg, label, x_in, train=False,
-                                     dtype=dtype, attn_impl=attn_impl)
+                                     dtype=dtype, attn_impl=attn_impl, mesh=mesh)
         v = valid.astype(F32)
         ce = cross_entropy(logits, gt)
         pred = jnp.argmax(logits, -1)

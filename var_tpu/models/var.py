@@ -241,6 +241,7 @@ def attn_apply(
     impl: str = "xla",
     scale_ends: Optional[Tuple[int, ...]] = None,
     remat_core: bool = False,
+    mesh=None,
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     """Self-attention with fused QKV, zero k-bias, optional QK L2-norm and
     KV-cache append (``basic_var.py:90-119``).
@@ -260,6 +261,19 @@ def attn_apply(
     h, d = cfg.num_heads, cfg.head_dim
     if impl == "paired" and not (h % 2 == 0 and d * 2 == 128):
         impl = "xla"  # paired needs head_dim-64 pairs; tiny/debug configs don't
+    # mesh discipline: XLA cannot auto-partition a pallas_call, so on a
+    # non-trivial mesh every kernel goes through the shard_map bridges in
+    # parallel/shard_attn — or, when the (heads, batch) geometry doesn't
+    # shard, falls back to the XLA path, which partitions fine. 'auto'
+    # therefore never produces an un-partitionable kernel on a pod.
+    from var_tpu.parallel import shard_attn as sa
+
+    if sa.mesh_is_trivial(mesh):
+        mesh = None
+    elif impl in ("paired", "pallas", "hybrid") and not sa.paired_mesh_ok(mesh, h, b):
+        impl = "xla"
+    # per-device lane width sets the decode kernels' VMEM envelope under TP
+    c_dev = c if mesh is None else c // sa.axis_sizes(mesh)[1]
     dtype = x.dtype
     qkv_bias = jnp.concatenate(
         [ap["q_bias"], jnp.zeros_like(ap["q_bias"]), ap["v_bias"]]
@@ -312,6 +326,8 @@ def attn_apply(
         def _core(qkv_m, scale_mul_p, impl_=impl):
             qm_, km_, vm_, sc = _split_norm(qkv_m, scale_mul_p)
             if impl_ == "paired":
+                if mesh is not None:
+                    return sa.paired_train(mesh, qm_, km_, vm_, h, sc, scale_ends)
                 # merged-lane paired-head training kernel: no head-split
                 # transposes, flash O(BLC) residuals (see flash_attention.py)
                 from var_tpu.ops.pallas.flash_attention import (
@@ -321,7 +337,7 @@ def attn_apply(
                                                     scale_ends)
             return attention(qm_.reshape(b, l, h, d), km_.reshape(b, l, h, d),
                              vm_.reshape(b, l, h, d), sc, impl=impl_,
-                             scale_ends=scale_ends).reshape(b, l, c)
+                             scale_ends=scale_ends, mesh=mesh).reshape(b, l, c)
 
         if impl == "hybrid":
             # flash primal (no L x L tensor in forward) + dense XLA backward
@@ -347,7 +363,7 @@ def attn_apply(
         _, cks, cvs, idx = cache_kv
         lk = l + sum(int(ck.shape[-2]) for ck in cks)
         paired_ok = (impl == "pallas" and bias is None and d * 2 == 128
-                     and h % 2 == 0 and lk <= PAIRED_VMEM_BUDGET // (4 * c)
+                     and h % 2 == 0 and lk <= PAIRED_VMEM_BUDGET // (4 * c_dev)
                      and l >= 8)
         if paired_ok:
             from var_tpu.ops.pallas.flash_attention import flash_decode_paired_chunks
@@ -358,8 +374,12 @@ def attn_apply(
             if cfg.attn_l2_norm:
                 sm = jnp.exp(jnp.minimum(ap["scale_mul"].astype(F32),
                                          math.log(100.0))).reshape(h)
-            out = flash_decode_paired_chunks(qkv, (*cks, km), (*cvs, vm), idx,
-                                             h, scale, q_l2_scale_mul=sm)
+            if mesh is not None:
+                out = sa.decode_paired_chunks(mesh, qkv, (*cks, km), (*cvs, vm),
+                                              idx, h, scale, sm)
+            else:
+                out = flash_decode_paired_chunks(qkv, (*cks, km), (*cvs, vm), idx,
+                                                 h, scale, q_l2_scale_mul=sm)
             return _linear(ap["proj"], out), (km, vm)
         qm, km, vm, scale = _split_norm(qkv, ap.get("scale_mul"))
         parts_k = [jax.lax.dynamic_index_in_dim(ck, idx, 0, False) for ck in cks]
@@ -374,6 +394,9 @@ def attn_apply(
         return _linear(ap["proj"], out), (km, vm)
     qm, km, vm, scale = _split_norm(qkv, ap.get("scale_mul"))
     if cache_kv is None and impl == "paired":
+        if mesh is not None:
+            out = sa.paired_train(mesh, qm, km, vm, h, scale, scale_ends)
+            return _linear(ap["proj"], out), None
         from var_tpu.ops.pallas.flash_attention import flash_attention_paired_train
 
         out = flash_attention_paired_train(qm, km, vm, h, scale, scale_ends)
@@ -404,7 +427,7 @@ def attn_apply(
     # cache length bound scales inversely with width (d16 C=1024 -> 1464
     # covers the full 256px pyramid; d36 C=2304 -> 651 covers stages 1-7 and
     # the long tail stages take the XLA path)
-    paired_max_lk = PAIRED_VMEM_BUDGET // (4 * c)
+    paired_max_lk = PAIRED_VMEM_BUDGET // (4 * c_dev)
     use_paired = (k_att_m is not None and impl == "pallas" and bias is None
                   and d * 2 == 128 and h % 2 == 0
                   and k_att_m.shape[1] <= paired_max_lk and l >= 8)
@@ -415,9 +438,12 @@ def attn_apply(
         # tiny stages) XLA's dot-general pair measures faster than the
         # streaming merged kernel (per-head lane slicing relayouts), so
         # everything else takes the XLA path below.
-        from var_tpu.ops.pallas.flash_attention import flash_decode_paired
+        if mesh is not None:
+            out = sa.decode_paired(mesh, qm, k_att_m, v_att_m, h, scale)
+        else:
+            from var_tpu.ops.pallas.flash_attention import flash_decode_paired
 
-        out = flash_decode_paired(qm, k_att_m, v_att_m, h, scale)
+            out = flash_decode_paired(qm, k_att_m, v_att_m, h, scale)
     else:
         q = qm.reshape(b, l, h, d)
         if k_att_m is not None:
@@ -429,7 +455,7 @@ def attn_apply(
         else:
             k_att, v_att = km.reshape(b, l, h, d), vm.reshape(b, l, h, d)
         out = attention(q, k_att, v_att, scale, bias=bias, impl=impl,
-                        scale_ends=scale_ends).reshape(b, l, c)
+                        scale_ends=scale_ends, mesh=mesh).reshape(b, l, c)
     return _linear(ap["proj"], out), new_kv
 
 
@@ -450,6 +476,7 @@ def block_apply(
     scale_ends: Optional[Tuple[int, ...]] = None,
     ln_impl: str = "xla",
     attn_remat: bool = False,
+    mesh=None,
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     """Pre-norm AdaLN block (``basic_var.py:152-158``):
     x += dp(attn(ln(x)*(s1+1)+sh1) * g1); x += dp(ffn(ln(x)*(s2+1)+sh2) * g2).
@@ -459,6 +486,14 @@ def block_apply(
     dominate decode; the kernel has no VJP so training keeps "xla").
     """
     dtype = x.dtype
+    if ln_impl == "pallas" and mesh is not None:
+        from var_tpu.parallel import shard_attn as sa
+
+        if not sa.mesh_is_trivial(mesh):
+            # the fused-LN pallas kernel reduces across the full C lane dim;
+            # under a mesh XLA cannot partition it, and per-shard stats would
+            # be wrong under TP — XLA's own LN fusion partitions correctly
+            ln_impl = "xla"
     p6 = _adaln6(blk, cfg, cond_ctx)
     g1, g2, s1, s2, sh1, sh2 = [p6[:, :, i].astype(dtype) for i in range(6)]
 
@@ -478,7 +513,7 @@ def block_apply(
     else:
         a_in = _mod_ln(x, s1, sh1)
     a_out, new_kv = attn_apply(blk["attn"], cfg, a_in, bias, cache_kv, impl,
-                               scale_ends, remat_core=attn_remat)
+                               scale_ends, remat_core=attn_remat, mesh=mesh)
     a_out = a_out * g1
     if drop_path_mask is not None:
         a_out = a_out * drop_path_mask[0].astype(dtype)
@@ -580,6 +615,7 @@ def var_forward(
     dtype=jnp.bfloat16,
     attn_impl: str = "xla",
     remat=False,
+    mesh=None,
 ) -> jax.Array:
     """Teacher-forced forward (``var.py:192-234``) -> fp32 logits (B, ed, V).
 
@@ -628,10 +664,10 @@ def var_forward(
         def _blk_remat(blk, x_, cond_val, dpm):
             return block_apply(blk, cfg, x_, (ctx_kind, cond_val), bias,
                                impl=attn_impl, drop_path_mask=dpm,
-                               scale_ends=scale_ends)[0]
+                               scale_ends=scale_ends, mesh=mesh)[0]
 
         def block_fn(blk, cfg_, x_, ctx_, bias_, impl=None, drop_path_mask=None,
-                     scale_ends=None):
+                     scale_ends=None, mesh=None):
             nonlocal ctx_kind
             ctx_kind = ctx_[0]
             return _blk_remat(blk, x_, ctx_[1], drop_path_mask), None
@@ -651,7 +687,8 @@ def var_forward(
                 m2 = jax.random.bernoulli(r2, keep, (b, 1, 1)).astype(F32) / keep
                 dp_mask = (m1, m2)
             x, _ = block_fn(blk, cfg, x, ctx, bias, impl=attn_impl,
-                            drop_path_mask=dp_mask, scale_ends=scale_ends)
+                            drop_path_mask=dp_mask, scale_ends=scale_ends,
+                            mesh=mesh)
     else:  # stacked params -> lax.scan over depth (compile-time O(1) in depth)
         if use_dp:
             rng, r_dp = jax.random.split(rng)
@@ -662,7 +699,8 @@ def var_forward(
             def body(xc, xs):
                 blk, dpm = xs
                 xc, _ = block_fn(blk, cfg, xc, ctx, bias, impl=attn_impl,
-                                 drop_path_mask=(dpm[0], dpm[1]), scale_ends=scale_ends)
+                                 drop_path_mask=(dpm[0], dpm[1]),
+                                 scale_ends=scale_ends, mesh=mesh)
                 return xc, None
 
             x, _ = jax.lax.scan(body, x, (blocks, dp_masks))
@@ -670,7 +708,7 @@ def var_forward(
 
             def body(xc, blk):
                 xc, _ = block_fn(blk, cfg, xc, ctx, bias, impl=attn_impl,
-                                 scale_ends=scale_ends)
+                                 scale_ends=scale_ends, mesh=mesh)
                 return xc, None
 
             x, _ = jax.lax.scan(body, x, blocks)
@@ -723,23 +761,57 @@ def init_prealloc_caches(cfg: VARConfig, batch: int, lmax: Optional[int] = None,
 
 
 def maybe_concat_chunks(caches, l_next: int, cfg: VARConfig,
-                        attn_impl: str = "auto"):
+                        attn_impl: str = "auto", mesh=None, batch=None):
     """Leave chunked storage at the first stage the paired kernel cannot
-    serve: cache past its VMEM envelope, non-paired head geometry, or a
-    non-pallas attention impl (the chunked XLA fallback re-joins the chunks
-    per LAYER inside the depth scan — depth x the copy traffic of plain
-    concat caches). All lengths static -> a compile-time branch; the one-off
-    concat equals the cache state the concat representation would hold."""
+    serve: cache past its VMEM envelope, non-paired head geometry, an
+    unshardable mesh geometry, or a non-pallas attention impl (the chunked
+    XLA fallback re-joins the chunks per LAYER inside the depth scan —
+    depth x the copy traffic of plain concat caches). All lengths static ->
+    a compile-time branch; the one-off concat equals the cache state the
+    concat representation would hold."""
     if not (isinstance(caches[0], str) and caches[1]):
         return caches
     if attn_impl == "auto":
         attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    from var_tpu.parallel import shard_attn as sa
+
+    c_dev = cfg.embed_dim
+    if not sa.mesh_is_trivial(mesh):
+        if batch is not None and not sa.paired_mesh_ok(mesh, cfg.num_heads, batch):
+            return chunks_to_concat(caches)  # kernel would fall back to XLA
+        c_dev = cfg.embed_dim // sa.axis_sizes(mesh)[1]
     lk_total = sum(int(k.shape[-2]) for k in caches[1]) + l_next
     if (attn_impl != "pallas" or cfg.head_dim * 2 != 128
             or cfg.num_heads % 2 or
-            lk_total > PAIRED_VMEM_BUDGET // (4 * cfg.embed_dim)):
+            lk_total > PAIRED_VMEM_BUDGET // (4 * c_dev)):
         return chunks_to_concat(caches)
     return caches
+
+
+def window_chunks_viable(cfg: VARConfig, kv_window: int, attn_impl: str = "auto",
+                         mesh=None, batch=None) -> bool:
+    """Can a ``kv_window``-pruned decode keep the chunked cache for the WHOLE
+    pyramid? Scale-granular pruning is a tuple slice on the chunk list (no
+    kernel change), but mixing representations mid-decode would need the full
+    unpruned history the windowed path deliberately never keeps — so the
+    choice is made once, up front, with :func:`maybe_concat_chunks`'s exact
+    predicate evaluated at the MAX pruned cache length any stage sees
+    (first_l + the kv_window most recent stages)."""
+    if attn_impl == "auto":
+        attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if attn_impl != "pallas" or cfg.head_dim * 2 != 128 or cfg.num_heads % 2:
+        return False
+    from var_tpu.parallel import shard_attn as sa
+
+    c_dev = cfg.embed_dim
+    if not sa.mesh_is_trivial(mesh):
+        if batch is not None and not sa.paired_mesh_ok(mesh, cfg.num_heads, batch):
+            return False
+        c_dev = cfg.embed_dim // sa.axis_sizes(mesh)[1]
+    lens = [pn * pn for pn in cfg.patch_nums]
+    max_lk = max(lens[0] + sum(lens[max(1, si - kv_window + 1): si + 1])
+                 for si in range(len(lens)))
+    return max_lk <= PAIRED_VMEM_BUDGET // (4 * c_dev)
 
 
 def chunks_to_concat(caches) -> Tuple[jax.Array, jax.Array]:
@@ -764,6 +836,7 @@ def transformer_stage(
     dtype=jnp.bfloat16,
     attn_impl: str = "auto",
     ln_impl: str = "auto",
+    mesh=None,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Run all blocks over one scale's token map with KV caching
     (``var.py:166-169``). Three cache representations:
@@ -799,7 +872,7 @@ def transformer_stage(
                 ctx_i = ("precomp", precomp[i]) if precomp is not None else cond_ctx
                 x, kv = block_apply(blk, cfg, x, ctx_i, bias=None,
                                     cache_kv=("chunks", cks, cvs, i),
-                                    impl=attn_impl, ln_impl=ln_impl)
+                                    impl=attn_impl, ln_impl=ln_impl, mesh=mesh)
                 new_k.append(kv[0])
                 new_v.append(kv[1])
             knew, vnew = jnp.stack(new_k), jnp.stack(new_v)
@@ -810,7 +883,7 @@ def transformer_stage(
                 ctx_i = ("precomp", p6i) if p6i is not None else cond_ctx
                 xc, kv = block_apply(blk, cfg, xc, ctx_i, bias=None,
                                      cache_kv=("chunks", cks, cvs, i),
-                                     impl=attn_impl, ln_impl=ln_impl)
+                                     impl=attn_impl, ln_impl=ln_impl, mesh=mesh)
                 return xc, kv
 
             idxs = jnp.arange(cfg.depth)
@@ -822,7 +895,7 @@ def transformer_stage(
             for i, blk in enumerate(blocks):
                 ctx_i = ("precomp", precomp[i]) if precomp is not None else cond_ctx
                 x, (ck, cv) = block_apply(blk, cfg, x, ctx_i, bias=None,
-                                          cache_kv=(ck, cv, i, cum), impl=attn_impl, ln_impl=ln_impl)
+                                          cache_kv=(ck, cv, i, cum), impl=attn_impl, ln_impl=ln_impl, mesh=mesh)
         else:
 
             def body(carry, xs):
@@ -830,7 +903,7 @@ def transformer_stage(
                 blk, i, p6i = xs
                 ctx_i = ("precomp", p6i) if p6i is not None else cond_ctx
                 xc, (ckc, cvc) = block_apply(blk, cfg, xc, ctx_i, bias=None,
-                                             cache_kv=(ckc, cvc, i, cum), impl=attn_impl, ln_impl=ln_impl)
+                                             cache_kv=(ckc, cvc, i, cum), impl=attn_impl, ln_impl=ln_impl, mesh=mesh)
                 return (xc, ckc, cvc), None
 
             idxs = jnp.arange(cfg.depth)
@@ -842,7 +915,7 @@ def transformer_stage(
         for i, blk in enumerate(blocks):
             ctx_i = ("precomp", precomp[i]) if precomp is not None else cond_ctx
             x, kv = block_apply(blk, cfg, x, ctx_i, bias=None,
-                                cache_kv=(ck[i], cv[i]), impl=attn_impl, ln_impl=ln_impl)
+                                cache_kv=(ck[i], cv[i]), impl=attn_impl, ln_impl=ln_impl, mesh=mesh)
             new_k.append(kv[0])
             new_v.append(kv[1])
         knew = jnp.stack(new_k)
@@ -853,7 +926,7 @@ def transformer_stage(
             blk, cki, cvi, p6i = xs
             ctx_i = ("precomp", p6i) if p6i is not None else cond_ctx
             xc, kv = block_apply(blk, cfg, xc, ctx_i, bias=None,
-                                 cache_kv=(cki, cvi), impl=attn_impl, ln_impl=ln_impl)
+                                 cache_kv=(cki, cvi), impl=attn_impl, ln_impl=ln_impl, mesh=mesh)
             return xc, kv
 
         x, (knew, vnew) = jax.lax.scan(body, x, (blocks, ck, cv, precomp))

@@ -79,6 +79,7 @@ def attention(
     bias: Optional[jax.Array] = None,
     impl: str = DEFAULT_IMPL,
     scale_ends: Optional[tuple] = None,
+    mesh=None,
 ) -> jax.Array:
     """softmax(q @ k^T * scale + bias) @ v.
 
@@ -95,9 +96,19 @@ def attention(
         assert q.shape[1] == k.shape[1], \
             "scale_ends requires full-sequence q (no KV cache offset)"
     if impl == "pallas":
-        from var_tpu.ops.pallas.flash_attention import flash_attention
+        from var_tpu.parallel import shard_attn as sa
 
-        return flash_attention(q, k, v, scale=scale, scale_ends=scale_ends)
+        if sa.mesh_is_trivial(mesh):
+            from var_tpu.ops.pallas.flash_attention import flash_attention
+
+            return flash_attention(q, k, v, scale=scale, scale_ends=scale_ends)
+        # XLA cannot partition a pallas_call over sharded operands: shard
+        # batch over 'data' and heads over 'model' via shard_map (attention
+        # is per-(batch, head) independent), or fall back to the
+        # partitionable XLA path when the geometry doesn't shard
+        if sa.flash_mesh_ok(mesh, q.shape[2], q.shape[0]):
+            return sa.flash_blhd(mesh, q, k, v, scale, scale_ends)
+        impl = "xla"
     if bias is None:
         # factored block-causal mask: level(p) = #{e in ends : p >= e};
         # attend where key-level <= query-level. Computed from iotas in
