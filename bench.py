@@ -10,10 +10,13 @@ implementation's estimated H100 throughput hardware-normalized to one v5e
 chip (full derivation in BASELINE.md). Update when a measured number exists.
 
 Usage: python bench.py [--smoke] [--batch N] [--iters N] [--train]
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``--train`` benches the d16 training step (tokenize+fwd+bwd+AdamW) instead
-of CFG sampling; its baseline is the same derivation applied to the
-reference's training path (3x forward FLOPs, no CFG/VQVAE-decode).
+The LAST line is ONE JSON line: {"metric", "value", "unit", "vs_baseline"}
+— the CFG-decode headline. A full (non-smoke) run also emits the d16
+train-step line BEFORE it (subprocess under a --train-budget time cap, so a
+cold cache can't blow the driver run; suppress with --no-train).
+``--train`` benches the d16 training step (tokenize+fwd+bwd+AdamW) alone;
+its baseline is the same derivation applied to the reference's training
+path (3x forward FLOPs, no CFG/VQVAE-decode).
 """
 
 from __future__ import annotations
@@ -138,6 +141,34 @@ def bench_train(batch: int, iters: int, smoke: bool = False):
     }))
 
 
+def _train_line_budgeted(budget_s: int) -> None:
+    """Emit the d16 train-step JSON line BEFORE the decode headline.
+
+    The driver parses the LAST line, so the headline stays the decode
+    metric while the tail captures both (round-4 verdict item 3: the train
+    number was builder-reported only). Runs in a killable subprocess under
+    a hard time budget: warm-cache runs (scripts/warm_cache.sh) finish in
+    ~1 min; a cold compile (~4 min) still fits, and a hung/over-budget run
+    is killed without losing the round's decode bench.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run([sys.executable, __file__, "--train"],
+                           capture_output=True, text=True, timeout=budget_s)
+        for line in (r.stdout or "").splitlines():
+            line = line.strip()
+            if line.startswith("{") and "train_step_throughput" in line:
+                print(line, flush=True)
+                return
+        sys.stderr.write(f"[bench] train line skipped: rc={r.returncode} "
+                         f"{(r.stderr or '').strip().splitlines()[-1:]}\n")
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(f"[bench] train line skipped: exceeded {budget_s}s budget\n")
+    except Exception as e:  # noqa: BLE001 - never lose the decode headline
+        sys.stderr.write(f"[bench] train line skipped: {type(e).__name__}: {e}\n")
+
+
 def main():
     import os
 
@@ -172,6 +203,9 @@ def main():
         bench_train(batch=arg("--batch", 4 if smoke else 32),
                     iters=arg("--iters", 2 if smoke else 5), smoke=smoke)
         return
+
+    if not smoke and "--no-train" not in sys.argv:
+        _train_line_budgeted(arg("--train-budget", 900))
 
     from var_tpu.config import VAEConfig, VARConfig
     from var_tpu.engine.sampler import make_sampler

@@ -45,6 +45,17 @@ def main():
         k1, k2 = jax.random.split(jax.random.PRNGKey(0))
         vae_params = vae_mod.init_vae_params(k1, vae_cfg)
         var_params = var_mod.stack_block_params(var_mod.init_var_params(k2, var_cfg))
+    elif which == "d16_1024":
+        # 1024px decode at d16 (L=9451, reference arg_util.py:244-249): the
+        # switchover fires at stage 10 (Lk 1755 > 1464-key envelope); the
+        # remaining 4 stages (incl. the 4096-token tail) run the XLA path
+        pns = parse_patch_nums("1024")
+        vae_cfg = VAEConfig(v_patch_nums=pns)
+        var_cfg = VARConfig.from_depth(16, attn_l2_norm=True, patch_nums=pns)
+        batch, iters = 4, 2
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        vae_params = vae_mod.init_vae_params(k1, vae_cfg)
+        var_params = var_mod.stack_block_params(var_mod.init_var_params(k2, var_cfg))
     elif which == "d36":
         pns = parse_patch_nums("512")
         # factory does host-CPU init for d24+; bf16-cast the block weights on
@@ -55,7 +66,7 @@ def main():
         vae_params = jax.device_put(vae_params)
         batch, iters = 4, 3
     else:
-        raise SystemExit(f"unknown model {which!r} (d20 | d16_512 | d36)")
+        raise SystemExit(f"unknown model {which!r} (d20 | d16_512 | d16_1024 | d36)")
 
     rounds = int(sys.argv[sys.argv.index("--rounds") + 1]) if "--rounds" in sys.argv else 1
     labels = jnp.arange(batch, dtype=jnp.int32) % 1000

@@ -260,6 +260,45 @@ def test_chunked_switchover_fires_at_512px_stage_lengths():
         var_mod.maybe_concat_chunks(caches, 256, cfg256, "pallas")[0], str)
 
 
+def test_chunked_switchover_fires_at_1024px_stage_lengths():
+    """The 1024px preset (pn 1..64, L=9451, reference arg_util.py:244-249)
+    at d16 geometry: chunked through stage 9 (Lk 1026 <= 1464-key envelope),
+    concat from stage 10 (Lk 1755) — the 4096-token tail stage then runs the
+    XLA path on the materialized cache."""
+    pns = (1, 2, 3, 4, 5, 7, 9, 12, 16, 21, 27, 36, 48, 64)
+    cfg = VARConfig(num_classes=1000, depth=16, embed_dim=1024, num_heads=16,
+                    patch_nums=pns, vocab_size=4096, z_channels=32)
+    caches = ("chunks", (), ())
+    switched_at = None
+    for si, pn in enumerate(pns):
+        seg = pn * pn
+        out = var_mod.maybe_concat_chunks(caches, seg, cfg, "pallas")
+        if not isinstance(out[0], str):
+            switched_at = si
+            break
+        chunk = jnp.zeros((1, 1, seg, 4))
+        caches = ("chunks", out[1] + (chunk,), out[2] + (chunk,))
+    assert switched_at == 10, f"switchover fired at stage {switched_at}, want 10"
+    assert out[0].shape[2] == 1026  # materialized keys = stages 0-9
+    # under TP (model=2) the per-device lane width halves -> the envelope
+    # doubles to 2928 keys and the switchover moves one stage later
+    from var_tpu.parallel import mesh as pm
+
+    mesh = pm.make_mesh(model_parallel=2)
+    caches = ("chunks", (), ())
+    switched_at = None
+    for si, pn in enumerate(pns):
+        seg = pn * pn
+        out = var_mod.maybe_concat_chunks(caches, seg, cfg, "pallas",
+                                          mesh=mesh, batch=8)
+        if not isinstance(out[0], str):
+            switched_at = si
+            break
+        chunk = jnp.zeros((1, 1, seg, 4))
+        caches = ("chunks", out[1] + (chunk,), out[2] + (chunk,))
+    assert switched_at == 11, f"TP switchover fired at stage {switched_at}, want 11"
+
+
 def test_decode_with_midpyramid_switchover_matches_concat(monkeypatch):
     """End-to-end greedy decode where the chunked->concat switchover fires
     MID-pyramid (budget shrunk so stage 4's Lk crosses the envelope): tokens

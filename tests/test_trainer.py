@@ -295,6 +295,43 @@ def test_masked_eval_step_sharded_matches_unpadded():
     np.testing.assert_allclose(got, ref, rtol=1e-5)
 
 
+def test_pick_eval_attn_routes_long_presets_to_streaming():
+    """Round-4 verdict item 6: with paired training, eval at the long presets
+    must use the streaming Pallas forward, not the dense XLA path that
+    materializes (B, H, L, L) fp32 scores — at the 1024px preset's L=9451
+    that is 9451^2*4 B = 357 MB per (batch, head): ~23 GB at batch 2 x 16
+    heads, over chip HBM. 256px (L=680) keeps the dense path (faster there)."""
+    from var_tpu.config import PATCH_NUM_PRESETS
+
+    L = {k: sum(p * p for p in v) for k, v in PATCH_NUM_PRESETS.items()}
+    assert tr.pick_eval_attn("paired", L["256"]) == "xla"
+    assert tr.pick_eval_attn("paired", L["512"]) == "pallas"
+    assert tr.pick_eval_attn("paired", L["1024"]) == "pallas"
+    # non-paired training evals with the same impl it trained with
+    for impl in ("xla", "pallas", "hybrid"):
+        assert tr.pick_eval_attn(impl, L["1024"]) == impl
+    # the dense-path memory the rule avoids, at the 1024px preset
+    assert L["1024"] == 9451
+    bytes_dense = 2 * 16 * L["1024"] ** 2 * 4  # batch 2, 16 heads, fp32
+    assert bytes_dense > 11e9  # > one v5e HBM half — would OOM eval
+
+
+def test_eval_step_streaming_pallas_matches_xla():
+    """The streaming eval path (what pick_eval_attn selects at 512/1024px)
+    produces the same masked val stats as the dense XLA path."""
+    vae_cfg, var_cfg, vae_params, var_params = tiny_setup()
+    imgs = jax.random.uniform(jax.random.PRNGKey(13), (4, 6, 6, 3)) * 2 - 1
+    labels = jnp.arange(4) % 6
+    valid = jnp.ones(4)
+    ref = np.asarray(tr.make_eval_step(var_cfg, vae_cfg, dtype=jnp.float32,
+                                       attn_impl="xla")(
+        var_params, vae_params, imgs, labels, valid), np.float64)
+    got = np.asarray(tr.make_eval_step(var_cfg, vae_cfg, dtype=jnp.float32,
+                                       attn_impl="pallas")(
+        var_params, vae_params, imgs, labels, valid), np.float64)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
 def test_gather_diff_shape():
     """dist.allgather_diff_shape equivalent: pad + all_gather + lengths."""
     from functools import partial

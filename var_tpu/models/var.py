@@ -270,8 +270,14 @@ def attn_apply(
 
     if sa.mesh_is_trivial(mesh):
         mesh = None
-    elif impl in ("paired", "pallas", "hybrid") and not sa.paired_mesh_ok(mesh, h, b):
-        impl = "xla"
+    elif impl == "paired" and not sa.paired_mesh_ok(mesh, h, b):
+        impl = "xla"  # the paired TRAIN kernel needs even heads/device
+    elif impl == "hybrid" and not sa.flash_mesh_ok(mesh, h, b):
+        impl = "xla"  # hybrid's forward is the BLHD streaming kernel
+    # decode 'pallas' gates per call site: the paired decode kernels need
+    # paired_mesh_ok (below); the streaming-BLHD fallback inside attention()
+    # checks flash_mesh_ok itself — each downgrades to XLA independently
+    mesh_paired_ok = mesh is None or sa.paired_mesh_ok(mesh, h, b)
     # per-device lane width sets the decode kernels' VMEM envelope under TP
     c_dev = c if mesh is None else c // sa.axis_sizes(mesh)[1]
     dtype = x.dtype
@@ -364,7 +370,7 @@ def attn_apply(
         lk = l + sum(int(ck.shape[-2]) for ck in cks)
         paired_ok = (impl == "pallas" and bias is None and d * 2 == 128
                      and h % 2 == 0 and lk <= PAIRED_VMEM_BUDGET // (4 * c_dev)
-                     and l >= 8)
+                     and l >= 8 and mesh_paired_ok)
         if paired_ok:
             from var_tpu.ops.pallas.flash_attention import flash_decode_paired_chunks
 
@@ -430,7 +436,8 @@ def attn_apply(
     paired_max_lk = PAIRED_VMEM_BUDGET // (4 * c_dev)
     use_paired = (k_att_m is not None and impl == "pallas" and bias is None
                   and d * 2 == 128 and h % 2 == 0
-                  and k_att_m.shape[1] <= paired_max_lk and l >= 8)
+                  and k_att_m.shape[1] <= paired_max_lk and l >= 8
+                  and mesh_paired_ok)
     if use_paired:
         # decode: paired-head flash kernel — caches stay (B, Lk, C), no
         # (B, H, Lq, Lk) logits tensor, no head transposes or padded layouts.
