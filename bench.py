@@ -106,6 +106,8 @@ def bench_train(batch: int, iters: int, smoke: bool = False):
         args.remat = 2
         if "--remat" in sys.argv:
             args.remat = int(sys.argv[sys.argv.index("--remat") + 1])
+        if "--tokenize_chunk" in sys.argv:  # bounds tokenizer conv temps
+            args.tokenize_chunk = int(sys.argv[sys.argv.index("--tokenize_chunk") + 1])
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     vae_params = vae_mod.init_vae_params(k1, vae_cfg)
     var_params = var_mod.stack_block_params(var_mod.init_var_params(k2, var_cfg))
