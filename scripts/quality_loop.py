@@ -23,8 +23,14 @@ Prints one JSON line:
 Reference anchors: val loop ``trainer.py:54-84`` / ``train.py:208-231``;
 FID protocol ``README.md:151-157``.
 
-Usage (CPU, ~4 min at defaults):
+Usage (CPU, ~25 min at defaults; the mini scale in tests/test_quality_loop.py
+runs in a few minutes):
     VAR_TPU_FORCE_CPU=1 python scripts/quality_loop.py --out_dir /tmp/qloop
+
+Measured at defaults (seed 0, recorded in BENCH_extra.json quality_loop):
+VQVAE recon 0.28375 -> 0.00647 over 300 steps; held-out val CE decreases
+monotonically every epoch (4.8513 -> 4.7869 over 6); FID proxy 0.015 (init
+params) -> 0.013 (trained).
 """
 
 from __future__ import annotations
