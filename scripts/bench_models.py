@@ -34,6 +34,14 @@ def main():
         k1, k2 = jax.random.split(jax.random.PRNGKey(0))
         vae_params = vae_mod.init_vae_params(k1, vae_cfg)
         var_params = var_mod.stack_block_params(var_mod.init_var_params(k2, var_cfg))
+    elif which == "d30":
+        # 2.0B @256px: host-CPU init (factory rule) + bf16-cast block weights
+        # (bit-identical decode) to fit the 16G chip
+        vae_cfg, var_cfg, vae_params, var_params = build_vae_var(
+            depth=30, attn_l2_norm=True)
+        var_params = jax.device_put(var_mod.cast_block_matmul_params(var_params))
+        vae_params = jax.device_put(vae_params)
+        batch, iters = 16, 3
     elif which == "d16_512":
         # 512px decode at d16: L=2240 crosses the paired kernel's VMEM
         # envelope at stage 9, so this row exercises the chunked->concat
