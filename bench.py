@@ -163,8 +163,9 @@ def _train_line_budgeted(budget_s: int) -> None:
             if line.startswith("{") and "train_step_throughput" in line:
                 print(line, flush=True)
                 return
+        tail = (r.stderr or "").strip().splitlines()
         sys.stderr.write(f"[bench] train line skipped: rc={r.returncode} "
-                         f"{(r.stderr or '').strip().splitlines()[-1:]}\n")
+                         f"{tail[-1] if tail else ''}\n")
     except subprocess.TimeoutExpired:
         sys.stderr.write(f"[bench] train line skipped: exceeded {budget_s}s budget\n")
     except Exception as e:  # noqa: BLE001 - never lose the decode headline
@@ -193,6 +194,7 @@ def main():
             return int(sys.argv[sys.argv.index(name) + 1])
         return default
 
+    probe = {"ok": True, "platform": "cpu"}
     if smoke:
         jax.config.update("jax_platforms", "cpu")
     else:
@@ -206,7 +208,10 @@ def main():
                     iters=arg("--iters", 2 if smoke else 5), smoke=smoke)
         return
 
-    if not smoke and "--no-train" not in sys.argv:
+    # the d16 train subprocess can't finish on CPU within any sane budget
+    # (VAR_TPU_FORCE_CPU=1 runs land here with platform == "cpu"), so only
+    # emit the train line when a real accelerator answered the probe
+    if not smoke and "--no-train" not in sys.argv and probe["platform"] != "cpu":
         _train_line_budgeted(arg("--train-budget", 900))
 
     from var_tpu.config import VAEConfig, VARConfig

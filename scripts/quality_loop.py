@@ -48,8 +48,31 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def gen_dataset(root: str, classes: int, per_class: int, val_per_class: int,
                 reso: int, seed: int) -> None:
     """Class k = sinusoidal grating at angle k*pi/classes in a class-specific
-    hue, random phase/frequency jitter + pixel noise per sample."""
+    hue, random phase/frequency jitter + pixel noise per sample.
+
+    A ``dataset.json`` manifest pins the generation parameters: reuse is
+    allowed only on an exact match, otherwise both splits are wiped and
+    regenerated — a stale split from a different --classes/--per_class/--pn/
+    --seed would silently mislabel the quality-loop evidence (extra class
+    dirs become labels >= num_classes, which the embedding lookup clamps
+    without error)."""
+    import shutil
+
     from PIL import Image
+
+    manifest = {"classes": classes, "per_class": per_class,
+                "val_per_class": val_per_class, "reso": reso, "seed": seed}
+    mpath = os.path.join(root, "dataset.json")
+    if os.path.exists(mpath):
+        try:
+            with open(mpath) as f:
+                if json.load(f) == manifest:
+                    return  # same parameters: the dataset on disk is exact
+        except Exception:
+            pass
+    # missing/mismatched manifest (also: interrupted generation) -> rebuild
+    for split in ("train", "val"):
+        shutil.rmtree(os.path.join(root, split), ignore_errors=True)
 
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:reso, 0:reso].astype(np.float32) / reso
@@ -57,8 +80,6 @@ def gen_dataset(root: str, classes: int, per_class: int, val_per_class: int,
         for c in range(classes):
             d = os.path.join(root, split, f"class_{c:03d}")
             os.makedirs(d, exist_ok=True)
-            if len(os.listdir(d)) >= n:
-                continue
             ang = np.pi * c / classes
             hue = np.array([np.sin(2.3 * c) * 0.5 + 0.5,
                             np.sin(1.7 * c + 2) * 0.5 + 0.5,
@@ -73,6 +94,8 @@ def gen_dataset(root: str, classes: int, per_class: int, val_per_class: int,
                 arr = np.clip(img * 255, 0, 255).astype(np.uint8)
                 Image.fromarray(arr).save(os.path.join(d, f"{i:05d}.jpg"),
                                           quality=92)
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
 
 
 def main(argv=None):
@@ -220,10 +243,13 @@ def main(argv=None):
     labels_s = np.repeat(np.arange(args.classes), args.sample_per_class)
 
     def sample_set(params, tag: str) -> str:
+        import shutil
+
         from PIL import Image
 
         d = os.path.join(args.out_dir, f"samples_{tag}")
-        os.makedirs(d, exist_ok=True)
+        shutil.rmtree(d, ignore_errors=True)  # stale extras would skew FID
+        os.makedirs(d)
         i = 0
         for off in range(0, len(labels_s), args.bs):
             lab = labels_s[off:off + args.bs]

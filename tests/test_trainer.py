@@ -299,8 +299,9 @@ def test_pick_eval_attn_routes_long_presets_to_streaming():
     """Round-4 verdict item 6: with paired training, eval at the long presets
     must use the streaming Pallas forward, not the dense XLA path that
     materializes (B, H, L, L) fp32 scores — at the 1024px preset's L=9451
-    that is 9451^2*4 B = 357 MB per (batch, head): ~23 GB at batch 2 x 16
-    heads, over chip HBM. 256px (L=680) keeps the dense path (faster there)."""
+    that is 9451^2*4 B = 357 MB per (batch, head): 11.4 GB at batch 2 x 16
+    heads for ONE such buffer (~23 GB while scores + softmax output are both
+    live), over chip HBM. 256px (L=680) keeps the dense path (faster there)."""
     from var_tpu.config import PATCH_NUM_PRESETS
 
     L = {k: sum(p * p for p in v) for k, v in PATCH_NUM_PRESETS.items()}

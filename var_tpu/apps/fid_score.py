@@ -39,6 +39,17 @@ def main(argv=None):
 
     extractor = F.get_extractor(args.extractor, vae_ckpt=args.vae_ckpt,
                                 inception_pt=args.inception_pt)
+    # a vae extractor without the checkpoint runs random-projection features
+    # in a different space — surface that in the metric name (and loudly),
+    # so trend numbers from different machines are never silently compared
+    space = getattr(extractor, "feature_space", args.extractor)
+    if space == "vae_randproj":
+        import sys
+
+        sys.stderr.write(f"[fid_score] WARNING: {args.vae_ckpt!r} not found — "
+                         "scoring with seeded RANDOM-PROJECTION VAE features "
+                         "(metric fid_vae_randproj). Comparable only with "
+                         "other randproj scores from the same seed.\n")
     mu_r, s_r = F.path_stats(args.ref, extractor, batch=args.batch, limit=args.limit)
     mu_s, s_s = F.path_stats(args.samples, extractor, batch=args.batch, limit=args.limit)
     score = F.frechet_distance(mu_r, s_r, mu_s, s_s)
@@ -46,7 +57,7 @@ def main(argv=None):
         import numpy as np
 
         np.savez(args.save_stats, mu=mu_s, sigma=s_s)
-    print(json.dumps({"metric": f"fid_{args.extractor}", "value": round(score, 6),
+    print(json.dumps({"metric": f"fid_{space}", "value": round(score, 6),
                       "ref": args.ref, "samples": args.samples}))
     return score
 

@@ -311,10 +311,11 @@ def make_train_step(
 def pick_eval_attn(train_attn: str, seq_len: int) -> str:
     """Eval attention for a given train impl: the paired train kernel is a
     custom-VJP training path, and the dense XLA fallback materializes
-    (B, H, L, L) fp32 scores (``ops/attention.py``) — ~23 GB at the 1024px
-    preset's L=9451 even at batch 2. Long presets therefore eval through the
-    STREAMING pallas forward (O(block) VMEM per program); 256px keeps the
-    dense path, which measures faster at L=680."""
+    (B, H, L, L) fp32 scores (``ops/attention.py``) — at the 1024px preset's
+    L=9451, one such buffer is 11.4 GB even at batch 2 x 16 heads (~23 GB
+    while scores and softmax output are both live). Long presets therefore
+    eval through the STREAMING pallas forward (O(block) VMEM per program);
+    256px keeps the dense path, which measures faster at L=680."""
     if train_attn == "paired":
         return "pallas" if seq_len > 1000 else "xla"
     return train_attn

@@ -128,6 +128,7 @@ def make_vae_extractor(vae_params=None, vae_cfg=None, vae_ckpt: str = "",
 
     from var_tpu.models import vae as vae_mod
 
+    real_weights = vae_params is not None
     if vae_params is None:
         from var_tpu.config import VAEConfig
 
@@ -136,6 +137,7 @@ def make_vae_extractor(vae_params=None, vae_cfg=None, vae_ckpt: str = "",
             from var_tpu.engine.convert import convert_vae, load_torch_state_dict
 
             vae_params = convert_vae(load_torch_state_dict(vae_ckpt), vae_cfg)
+            real_weights = True
         else:
             vae_params = vae_mod.init_vae_params(jax.random.PRNGKey(seed), vae_cfg)
 
@@ -150,6 +152,11 @@ def make_vae_extractor(vae_params=None, vae_cfg=None, vae_ckpt: str = "",
         x = np.asarray(imgs_u8, np.float32) / 127.5 - 1.0
         return np.asarray(_feats(x), np.float64)
 
+    # scores from checkpoint features and from seeded random-projection
+    # features live in DIFFERENT spaces — label the extractor so callers
+    # (apps/fid_score.py) can name the metric accordingly instead of
+    # silently mixing incomparable numbers across machines
+    extract.feature_space = "vae" if real_weights else "vae_randproj"
     return extract
 
 

@@ -767,43 +767,16 @@ def init_prealloc_caches(cfg: VARConfig, batch: int, lmax: Optional[int] = None,
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), 0
 
 
-def maybe_concat_chunks(caches, l_next: int, cfg: VARConfig,
-                        attn_impl: str = "auto", mesh=None, batch=None):
-    """Leave chunked storage at the first stage the paired kernel cannot
-    serve: cache past its VMEM envelope, non-paired head geometry, an
-    unshardable mesh geometry, or a non-pallas attention impl (the chunked
-    XLA fallback re-joins the chunks per LAYER inside the depth scan —
-    depth x the copy traffic of plain concat caches). All lengths static ->
-    a compile-time branch; the one-off concat equals the cache state the
-    concat representation would hold."""
-    if not (isinstance(caches[0], str) and caches[1]):
-        return caches
-    if attn_impl == "auto":
-        attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    from var_tpu.parallel import shard_attn as sa
-
-    c_dev = cfg.embed_dim
-    if not sa.mesh_is_trivial(mesh):
-        if batch is not None and not sa.paired_mesh_ok(mesh, cfg.num_heads, batch):
-            return chunks_to_concat(caches)  # kernel would fall back to XLA
-        c_dev = cfg.embed_dim // sa.axis_sizes(mesh)[1]
-    lk_total = sum(int(k.shape[-2]) for k in caches[1]) + l_next
-    if (attn_impl != "pallas" or cfg.head_dim * 2 != 128
-            or cfg.num_heads % 2 or
-            lk_total > PAIRED_VMEM_BUDGET // (4 * c_dev)):
-        return chunks_to_concat(caches)
-    return caches
-
-
-def window_chunks_viable(cfg: VARConfig, kv_window: int, attn_impl: str = "auto",
-                         mesh=None, batch=None) -> bool:
-    """Can a ``kv_window``-pruned decode keep the chunked cache for the WHOLE
-    pyramid? Scale-granular pruning is a tuple slice on the chunk list (no
-    kernel change), but mixing representations mid-decode would need the full
-    unpruned history the windowed path deliberately never keeps — so the
-    choice is made once, up front, with :func:`maybe_concat_chunks`'s exact
-    predicate evaluated at the MAX pruned cache length any stage sees
-    (first_l + the kv_window most recent stages)."""
+def paired_chunks_ok(cfg: VARConfig, lk: int, attn_impl: str = "auto",
+                     mesh=None, batch=None) -> bool:
+    """THE serving-envelope predicate for the paired chunked-decode kernel at
+    total cache length ``lk``: pallas impl, paired head geometry (head_dim
+    64, even head count), a mesh the kernel can shard over ('model'-sharded
+    heads stay paired per device), and the VMEM budget at the PER-DEVICE lane
+    width (under TP the envelope scales with C/mp). Single source of truth
+    for :func:`maybe_concat_chunks` and :func:`window_chunks_viable` — the
+    per-stage gate in ``attn_apply`` adds only its stage-local extras
+    (``bias is None``, ``l >= 8``) on top of this formula."""
     if attn_impl == "auto":
         attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if attn_impl != "pallas" or cfg.head_dim * 2 != 128 or cfg.num_heads % 2:
@@ -815,10 +788,39 @@ def window_chunks_viable(cfg: VARConfig, kv_window: int, attn_impl: str = "auto"
         if batch is not None and not sa.paired_mesh_ok(mesh, cfg.num_heads, batch):
             return False
         c_dev = cfg.embed_dim // sa.axis_sizes(mesh)[1]
+    return lk <= PAIRED_VMEM_BUDGET // (4 * c_dev)
+
+
+def maybe_concat_chunks(caches, l_next: int, cfg: VARConfig,
+                        attn_impl: str = "auto", mesh=None, batch=None):
+    """Leave chunked storage at the first stage the paired kernel cannot
+    serve (:func:`paired_chunks_ok`): cache past its VMEM envelope,
+    non-paired head geometry, an unshardable mesh geometry, or a non-pallas
+    attention impl (the chunked XLA fallback re-joins the chunks per LAYER
+    inside the depth scan — depth x the copy traffic of plain concat
+    caches). All lengths static -> a compile-time branch; the one-off concat
+    equals the cache state the concat representation would hold."""
+    if not (isinstance(caches[0], str) and caches[1]):
+        return caches
+    lk_total = sum(int(k.shape[-2]) for k in caches[1]) + l_next
+    if not paired_chunks_ok(cfg, lk_total, attn_impl, mesh, batch):
+        return chunks_to_concat(caches)
+    return caches
+
+
+def window_chunks_viable(cfg: VARConfig, kv_window: int, attn_impl: str = "auto",
+                         mesh=None, batch=None) -> bool:
+    """Can a ``kv_window``-pruned decode keep the chunked cache for the WHOLE
+    pyramid? Scale-granular pruning is a tuple slice on the chunk list (no
+    kernel change), but mixing representations mid-decode would need the full
+    unpruned history the windowed path deliberately never keeps — so the
+    choice is made once, up front, with the shared :func:`paired_chunks_ok`
+    envelope evaluated at the MAX pruned cache length any stage sees
+    (first_l + the kv_window most recent stages)."""
     lens = [pn * pn for pn in cfg.patch_nums]
     max_lk = max(lens[0] + sum(lens[max(1, si - kv_window + 1): si + 1])
                  for si in range(len(lens)))
-    return max_lk <= PAIRED_VMEM_BUDGET // (4 * c_dev)
+    return paired_chunks_ok(cfg, max_lk, attn_impl, mesh, batch)
 
 
 def chunks_to_concat(caches) -> Tuple[jax.Array, jax.Array]:
