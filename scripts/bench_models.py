@@ -34,11 +34,14 @@ def main():
         k1, k2 = jax.random.split(jax.random.PRNGKey(0))
         vae_params = vae_mod.init_vae_params(k1, vae_cfg)
         var_params = var_mod.stack_block_params(var_mod.init_var_params(k2, var_cfg))
-    elif which == "d30":
-        # 2.0B @256px: host-CPU init (factory rule) + bf16-cast block weights
-        # (bit-identical decode) to fit the 16G chip
+    elif which in ("d24", "d30"):
+        # 1.0B / 2.0B @256px: host-CPU init (factory rule) + bf16-cast block
+        # weights (bit-identical decode) to fit the 16G chip. Wall numbers
+        # through the dev tunnel are param-upload bound for 1B+ programs —
+        # the README reports the device-timeline rate from
+        # scripts/profile_decode.py's aggregation (see BENCH_extra.json)
         vae_cfg, var_cfg, vae_params, var_params = build_vae_var(
-            depth=30, attn_l2_norm=True)
+            depth=int(which[1:]), attn_l2_norm=True)
         var_params = jax.device_put(var_mod.cast_block_matmul_params(var_params))
         vae_params = jax.device_put(vae_params)
         batch, iters = 16, 3
@@ -74,7 +77,8 @@ def main():
         vae_params = jax.device_put(vae_params)
         batch, iters = 4, 3
     else:
-        raise SystemExit(f"unknown model {which!r} (d20 | d16_512 | d16_1024 | d36)")
+        raise SystemExit(
+            f"unknown model {which!r} (d20 | d24 | d30 | d16_512 | d16_1024 | d36)")
 
     rounds = int(sys.argv[sys.argv.index("--rounds") + 1]) if "--rounds" in sys.argv else 1
     labels = jnp.arange(batch, dtype=jnp.int32) % 1000
