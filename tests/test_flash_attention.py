@@ -286,3 +286,23 @@ def test_paired_train_fused_bwd_matches_split():
     for a, b in zip(g_split, g_fused):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_ptrain_q_block_choice_satisfies_mosaic_constraint():
+    """Regression (round 5, verified crash on real TPU): the paired-train
+    kernels' lse output block has trailing dim = bq, which Mosaic requires
+    to be a multiple of 128 or the full array dim. The non-segmented
+    fall-through used to pick multiple-of-8 blocks (bq=16 at the
+    local-debug pn=1_2_3, L=14; bq=160 at pn=1..8, L=155) and failed
+    lowering for ANY pyramid whose total L <= block_q. Hardware mode must
+    round every q block to a multiple of 128; interpret mode keeps the
+    tests' tiny multiple-of-8 blocks."""
+    from var_tpu.ops.pallas.flash_attention import _pick_block_q_ptrain
+
+    for target in (128, 256, 512):
+        for n in list(range(1, 300)) + [680, 1216, 2240, 9451]:
+            bq = _pick_block_q_ptrain(n, target, interpret=False)
+            assert bq % 128 == 0, (n, target, bq)
+            assert bq >= min(n, target)  # block covers n (or is the cap)
+            bq_i = _pick_block_q_ptrain(n, target, interpret=True)
+            assert bq_i % 8 == 0 and bq_i >= min(n, target)

@@ -47,6 +47,17 @@ def _pick_block(n: int, target: int) -> int:
     return target
 
 
+def _pick_block_q_ptrain(n: int, target: int, interpret: bool) -> int:
+    """q-block choice for the paired-train kernels: Mosaic constrains the
+    lse output block's trailing dim (= bq) to a multiple of 128 or the full
+    array dim, so on hardware blocks round to 128 (padded rows are masked
+    and their outputs discarded); interpret mode keeps the tests' tiny
+    multiple-of-8 blocks. Every return value is target (a multiple of 128)
+    or a multiple of the granule — pinned by tests/test_flash_attention.py."""
+    g = 8 if interpret else 128
+    return target if n > target else max(g, -(-n // g) * g)
+
+
 def _pick_block_k(l: int, target: int) -> int:
     """K-stream block minimizing padded grid work.
 
@@ -1163,15 +1174,11 @@ def flash_attention_paired_train(
     qs = (q_m.astype(F32) * scale).astype(q_m.dtype)
 
     segment = segment and os.environ.get("VAR_TPU_PTRAIN_SEGMENT", "1") != "0"
+
+    def _bq(n):
+        return _pick_block_q_ptrain(n, block_q, interpret)
+
     if ends is not None and segment and lq == lk and ends[-1] == lq:
-        # Mosaic constrains the lse output block's trailing dim (= bq) to a
-        # multiple of 128 (or the full array dim), so segment q blocks round
-        # to 128 on hardware; interpret mode keeps the tests' tiny blocks.
-        g = 8 if interpret else 128
-
-        def _bq(n):
-            return block_q if n > block_q else max(g, -(-n // g) * g)
-
         p = 0
         while p < len(ends) and ends[p] <= block_q:
             p += 1
@@ -1190,6 +1197,12 @@ def flash_attention_paired_train(
                 lo = e
             return jnp.concatenate(outs, axis=1)
 
-    bq = _pick_block(lq, block_q)
+    # non-segmented fall-through (tiny pyramids where every scale fits one
+    # q block, masked single call, or segment=False): the SAME 128-rounding
+    # applies — _pick_block's multiple-of-8 choice (e.g. bq=16 at the
+    # local-debug pn=1_2_3, L=14) violates the lse block constraint and
+    # fails Mosaic lowering on real TPUs (verified: crash at L=14/155,
+    # fixed output matches XLA within the hardware path's usual MXU noise)
+    bq = _bq(lq)
     bk = _pick_block_k(lk, block_k)
     return _ptrain(qs, k_m, v_m, num_heads, ends, bq, bk, interpret)
