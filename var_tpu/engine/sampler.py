@@ -34,7 +34,7 @@ F32 = jnp.float32
 
 class DecodeResult(NamedTuple):
     image: jax.Array  # (B, H, W, 3) in [0, 1]
-    tokens: jax.Array  # (B, L) int32 sampled (pre-mask for inpainting) ids
+    tokens: jax.Array  # (B, L) int32 FINAL ids (inpainting: kept positions already hold gt)
     f_hat: jax.Array  # (B, h, w, Cvae) final accumulated latent
 
 

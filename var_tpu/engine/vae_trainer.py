@@ -59,9 +59,7 @@ def make_vae_train_step(cfg: VAEConfig, lr: float = 3e-4, beta_recon: float = 1.
         # pjit-with-sharded-batch the bincount above is already global.
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        decay = jnp.where(state.record_hit == 0, 0.0,
-                          jnp.where(state.record_hit < 100, 0.9, 0.99))
-        ema = state.ema_hits * decay + hits * (1.0 - decay)
+        ema = q.update_ema_hits(state.ema_hits, hits, state.record_hit)
         new_state = VAETrainState(params, opt_state, ema,
                                   state.record_hit + 1, state.step + 1)
         metrics = {"loss": loss, "recon": recon, "vq": vq}

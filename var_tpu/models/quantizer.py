@@ -302,12 +302,14 @@ def quantizer_forward(params: dict, cfg: VAEConfig, f_bhwc: jax.Array) -> QuantR
     return QuantResult(f_hat_ste, vq_loss, jnp.stack(hits), idx_bl)
 
 
-def update_ema_hits(ema_sv: jax.Array, hits_sv: jax.Array, record_hit: int) -> jax.Array:
+def update_ema_hits(ema_sv: jax.Array, hits_sv: jax.Array, record_hit) -> jax.Array:
     """EMA codebook-usage update (``quant.py:88-93``); ``hits_sv`` must already
-    be summed across data-parallel replicas."""
-    if record_hit == 0:
-        return hits_sv
-    decay = 0.9 if record_hit < 100 else 0.99
+    be summed across data-parallel replicas. ``record_hit`` may be a python
+    int or a traced int32 — ``engine/vae_trainer.py`` calls this inside its
+    jitted step: step 0 replaces outright, then decay 0.9 until 100 recorded
+    steps and 0.99 after."""
+    decay = jnp.where(record_hit == 0, 0.0,
+                      jnp.where(record_hit < 100, 0.9, 0.99))
     return ema_sv * decay + hits_sv * (1.0 - decay)
 
 

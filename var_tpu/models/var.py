@@ -305,8 +305,9 @@ def attn_apply(
             # lanes: sumsq_h = x^2 @ seg (C x H); inv broadcast back via
             # seg^T. Exactly _l2norm per head, but no 4-D fp32
             # intermediates or lane-64 layouts.
-            seg = jnp.asarray(np.kron(np.eye(h, dtype=np.float32),
-                                      np.ones((d, 1), np.float32)))  # (C, H)
+            from var_tpu.ops.pallas.flash_attention import head_segment_matrix
+
+            seg = head_segment_matrix(h, d)  # (C, H)
             kf = km_.astype(F32)
             inv_k = jax.lax.rsqrt(jnp.square(kf) @ seg + 1e-24)
             km_ = (kf * (inv_k @ seg.T)).astype(dtype)

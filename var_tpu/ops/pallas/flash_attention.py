@@ -47,6 +47,17 @@ def _pick_block(n: int, target: int) -> int:
     return target
 
 
+def head_segment_matrix(num_heads: int, head_dim: int) -> jax.Array:
+    """(C, H) block-diagonal ones matrix for per-head reductions on MERGED
+    (.., C = H*D) lanes: ``x2 @ seg`` sums within each head's lane group and
+    ``vals @ seg.T`` broadcasts per-head values back to the lanes. Shared by
+    the merged-lane q/k L2 norm (``models/var.py::_split_norm``) and the
+    paired-train backward's delta reduction — both must agree on the
+    head->lane layout, so there is exactly one construction of it."""
+    return jnp.asarray(np.kron(np.eye(num_heads, dtype=np.float32),
+                               np.ones((head_dim, 1), np.float32)))
+
+
 def _pick_block_q_ptrain(n: int, target: int, interpret: bool) -> int:
     """q-block choice for the paired-train kernels: Mosaic constrains the
     lse output block's trailing dim (= bq) to a multiple of 128 or the full
@@ -386,14 +397,12 @@ def flash_attention(
     ends = tuple(int(e) for e in scale_ends) if scale_ends is not None else None
     if lq < 8 or lk < 8:
         # tiny decode stages (1-4 query tokens): below the TPU tile minimum
-        # and faster as a plain fused dot-general anyway
-        logits = jnp.einsum("blhd,bmhd->bhlm", q, k).astype(F32) * scale
-        if ends is not None:
-            lvl_q = _levels_of(jnp.arange(lq), ends)
-            lvl_k = _levels_of(jnp.arange(lk), ends)
-            ok = lvl_k[None, :] <= lvl_q[:, None]
-            logits = jnp.where(ok[None, None], logits, NEG_INF)
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        # and faster as a plain fused dot-general anyway — the ONE dense
+        # masked-softmax implementation lives in ops.attention (lazy import:
+        # that module dispatches to this one inside functions)
+        from var_tpu.ops.attention import _dense_probs
+
+        probs = _dense_probs(q, k, scale, ends).astype(v.dtype)
         return jnp.einsum("bhlm,bmhd->blhd", probs, v)
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
@@ -1037,8 +1046,7 @@ def _ptrain_bwd(qm, km, vm, out, lse, do, nh, ends, bq, bk, interpret):
     d = c // nh
     # per-(row, head) delta = sum_d do*o within the head's lanes: one
     # block-diagonal ones matmul on merged lanes, then H to the sublane dim
-    seg = jnp.asarray(np.kron(np.eye(nh, dtype=np.float32),
-                              np.ones((d, 1), np.float32)))  # (C, H)
+    seg = head_segment_matrix(nh, d)  # (C, H)
     delta = jax.lax.dot_general(do.astype(F32) * out.astype(F32), seg,
                                 (((2,), (0,)), ((), ())),
                                 preferred_element_type=F32)  # (B, L, H)
